@@ -1,0 +1,81 @@
+import numpy as np
+import jax.numpy as jnp
+
+from vanishing_points_2017_tpu.em import calculate_horizon_and_ortho_vp
+from vanishing_points_2017_tpu.models import synth
+
+
+def pad_slots(vps, counts, m_slots=40):
+    ms = m_slots
+    v = np.zeros((ms, 3), np.float32)
+    c = np.zeros(ms, np.float32)
+    a = np.zeros(ms, bool)
+    v[:vps.shape[0]] = vps
+    c[:vps.shape[0]] = counts
+    a[:vps.shape[0]] = True
+    return jnp.asarray(v), jnp.asarray(c), jnp.asarray(a)
+
+
+def test_manhattan_triplet_recovers_horizon():
+    rng = np.random.default_rng(0)
+    scene = synth.make_scene(rng, lines_per_vp=30, outliers=0)
+    counts = np.array([30.0, 28.0, 25.0])
+    v, c, a = pad_slots(scene.vps, counts)
+    hp1, hp2, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(v, c, a)
+    hp1, hp2 = np.asarray(hp1), np.asarray(hp2)
+
+    # ground-truth horizon sampled at x = +-1
+    th = scene.horizon
+    tp1 = np.cross(th, [1, 0, 1]); tp1 = tp1 / tp1[2]
+    tp2 = np.cross(th, [-1, 0, 1]); tp2 = tp2 / tp2[2]
+    err = max(abs(hp1[1] - tp1[1]), abs(hp2[1] - tp2[1])) / 2
+    assert err < 0.05, err
+
+    # zenith must be the max-|y| VP
+    zi = np.argmax(np.abs(scene.vps[:, 1]))
+    np.testing.assert_allclose(np.asarray(z_vp), scene.vps[zi], atol=1e-5)
+
+
+def test_two_vp_fallback():
+    vps = np.array([[0.5, 0.1, 1.0], [-0.7, 0.12, 1.0]], np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    v, c, a = pad_slots(vps, np.array([10.0, 8.0]))
+    hp1, hp2, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(v, c, a)
+    # horizon through the two raw VPs
+    want = np.cross(vps[0], vps[1])
+    got1 = np.asarray(hp1)
+    assert abs(np.dot(want, got1)) < 1e-4  # hp1 lies on cross(vp0, vp1)
+    np.testing.assert_allclose(np.asarray(z_vp), [0, 1, 0], atol=1e-6)
+
+
+def test_one_vp_fallback_default_horizon():
+    vps = np.array([[0.5, 0.1, 1.0]], np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    v, c, a = pad_slots(vps, np.array([10.0]))
+    hp1, hp2, *_ = calculate_horizon_and_ortho_vp(v, c, a)
+    # default horizon y = 0
+    assert abs(np.asarray(hp1)[1]) < 1e-6
+    assert abs(np.asarray(hp2)[1]) < 1e-6
+
+
+def test_zero_vp_fallback():
+    v = jnp.zeros((40, 3), jnp.float32)
+    c = jnp.zeros(40, jnp.float32)
+    a = jnp.zeros(40, bool)
+    hp1, hp2, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(v, c, a)
+    assert abs(np.asarray(hp1)[1]) < 1e-6
+    np.testing.assert_allclose(np.asarray(h1), [-1, 0, 0], atol=1e-6)
+
+
+def test_gates_all_fail_uses_first_triplet():
+    # three VPs that violate the zenith gate (no zenith candidate):
+    # score stays 0 everywhere -> first triplet's horizon returned
+    vps = np.array([[0.9, 0.1, 0.3], [-0.8, 0.05, 0.5], [0.1, 0.2, 0.95]],
+                   np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    assert np.all(np.abs(vps[:, 1]) < np.sin(np.pi / 4))  # no zenith cand.
+    v, c, a = pad_slots(vps, np.array([30.0, 20.0, 10.0]))
+    hp1, hp2, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(v, c, a)
+    # the returned horizon is finite and derived from triplet (0, 1, 2)
+    assert np.all(np.isfinite(np.asarray(hp1)))
+    assert set(np.asarray(combo).tolist()) == {0, 1, 2}

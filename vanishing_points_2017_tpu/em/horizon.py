@@ -1,0 +1,197 @@
+"""Horizon estimation from refined vanishing points.
+
+Vectorized, jittable re-derivation of ``calc_horizon.py:19-225`` of
+fkluger/vanishing_points_2017. Instead of a Python triple loop over VP
+triplets, all C(maxbest, 3) triplets are scored in one masked batch; the
+winner is the argmax, which (scores being >= 0 and the reference updating
+only on strict improvement) picks the same triplet as the reference loop —
+including its quirk that when every gate fails, the first triplet's horizon
+is returned (score 0 beats the initial best of -1).
+
+Reference quirks preserved:
+
+* Zenith-of-triplet assignment by strict |y| comparisons: on ties the THIRD
+  VP wins (the reference's if/elif/else at ``calc_horizon.py:109-129``).
+* The ``zenith`` used by the orthogonality score is the LAST member of the
+  triplet that is a zenith candidate (``calc_horizon.py:88-96``); it only
+  matters when num_zenith == 1, where it is unambiguous.
+* Fallbacks for < 3 usable VPs use the RAW vps order (not sorted by counts):
+  ``calc_horizon.py:200-217``.
+* The ``maxbest`` *default* here is 20 — every reference call site passes 20.
+
+Static shapes: vps is an (M, 3) slot array with an ``alive`` mask; dead slots
+get count sentinel -1 so they sort after every alive VP (alive VPs always
+have counts >= num_min_lines = 3 after EM pruning).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _triplets(n: int) -> np.ndarray:
+    """All (i, j, k), i<j<k in the reference's loop order (lexicographic)."""
+    out = [(i, j, k) for i in range(n) for j in range(i, n) for k in range(j, n)
+           if i != j and j != k and i != k]
+    return np.array(out, dtype=np.int32).reshape(-1, 3)
+
+
+def _cross(a, b):
+    return jnp.cross(a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("maxbest",))
+def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
+                                   alive: jnp.ndarray, maxbest: int = 20,
+                                   theta_vmin: float = float(np.pi / 10),
+                                   theta_z: float = float(np.pi / 4)):
+    """Returns (hP1, hP2, zVP, hVP1, hVP2, best_triplet_vp_indices).
+
+    vps: (M, 3) unit VPs (z >= 0), counts: (M,) unweighted inlier counts,
+    alive: (M,) slot validity. hP1/hP2 are the horizon intersections with
+    x = +-1, dehomogenized.
+    """
+    m_slots = vps.shape[0]
+    counts = jnp.where(alive, counts, -1.0)
+    num_alive = jnp.sum(alive)
+    num_best = jnp.minimum(maxbest, num_alive)
+
+    order = jnp.argsort(-counts)  # descending; dead (-1) last
+    kbest = min(maxbest, m_slots)
+    best_vps = order[:kbest]  # (kbest,)
+    bv = vps[best_vps]  # (kbest, 3)
+    bcounts = jnp.maximum(counts[best_vps], 0.0)
+
+    zenith_cand = jnp.abs(vps[:, 1]) > jnp.sin(theta_z)  # original indexing
+    bz = zenith_cand[best_vps] & (counts[best_vps] >= 0)
+
+    in_image = (jnp.abs(bv[:, 0] / bv[:, 2]) <= 1.0) & \
+               (jnp.abs(bv[:, 1] / bv[:, 2]) <= 1.0)
+
+    tri = jnp.asarray(_triplets(kbest))  # (T, 3)
+    ta, tb, tc = tri[:, 0], tri[:, 1], tri[:, 2]
+    tri_valid = tc < num_best  # all members among the alive top num_best
+
+    va, vb_, vc = bv[ta], bv[tb], bv[tc]  # (T, 3)
+    ca, cb, cc = bcounts[ta], bcounts[tb], bcounts[tc]
+
+    ab = jnp.abs(jnp.sum(va * vb_, axis=-1))
+    bc = jnp.abs(jnp.sum(vb_ * vc, axis=-1))
+    ac = jnp.abs(jnp.sum(va * vc, axis=-1))
+
+    num_zenith = (bz[ta].astype(jnp.int32) + bz[tb].astype(jnp.int32)
+                  + bz[tc].astype(jnp.int32))
+    # last zenith candidate in (a, b, c) order wins
+    zenith = jnp.where(bz[ta][:, None], va, jnp.zeros_like(va))
+    zenith = jnp.where(bz[tb][:, None], vb_, zenith)
+    zenith = jnp.where(bz[tc][:, None], vc, zenith)
+
+    num_central = (in_image[ta].astype(jnp.int32) + in_image[tb].astype(jnp.int32)
+                   + in_image[tc].astype(jnp.int32))
+
+    # zenith-of-triplet: strict max |y|; ties fall through to c
+    ya, yb, yc = jnp.abs(va[:, 1]), jnp.abs(vb_[:, 1]), jnp.abs(vc[:, 1])
+    a_is_z = (ya > yb) & (ya > yc)
+    b_is_z = (yb > ya) & (yb > yc)
+    c_is_z = ~(a_is_z | b_is_z)
+
+    def pick(cond_a, cond_b, xa, xb, xc):
+        return jnp.where(cond_a[..., None] if xa.ndim > cond_a.ndim else cond_a,
+                         xa, jnp.where(cond_b[..., None] if xb.ndim > cond_b.ndim
+                                       else cond_b, xb, xc))
+
+    z_vp = pick(a_is_z, b_is_z, va, vb_, vc)  # (T, 3)
+    h_vp1 = pick(a_is_z, b_is_z, vb_, va, va)
+    h_vp2 = pick(a_is_z, b_is_z, vc, vc, vb_)
+    h1_count = pick(a_is_z, b_is_z, cb, ca, ca)
+    h2_count = pick(a_is_z, b_is_z, cc, cc, cb)
+
+    # horizon line constrained perpendicular to the zenith direction
+    e3 = jnp.array([0.0, 0.0, 1.0], vps.dtype)
+    zlin = _cross(z_vp, e3[None, :])  # (T, 3)
+    zlin = zlin / jnp.linalg.norm(zlin[:, 0:2], axis=-1, keepdims=True)
+    l1, l2 = zlin[:, 0], zlin[:, 1]
+
+    hv1 = h_vp1 / h_vp1[:, 2:3]
+    hv2 = h_vp2 / h_vp2[:, 2:3]
+    d1 = jnp.linalg.norm(e3[None, :] - hv1, axis=-1)
+    d2 = jnp.linalg.norm(e3[None, :] - hv2, axis=-1)
+
+    h1 = -l2
+    h2 = l1
+    w1 = d2 * h1_count
+    w2 = d1 * h2_count
+    h3 = ((h_vp1[:, 0] * l2 - h_vp1[:, 1] * l1) / h_vp1[:, 2] * w1
+          + (h_vp2[:, 0] * l2 - h_vp2[:, 1] * l1) / h_vp2[:, 2] * w2) / (w1 + w2)
+    hlin = jnp.stack([h1, h2, h3], axis=-1)  # (T, 3)
+
+    hvec = hv1 - hv2
+    hvec_norm = jnp.linalg.norm(hvec, axis=-1)
+    hang = jnp.arccos(jnp.abs(hvec[:, 0]) / hvec_norm)
+
+    hp1 = _cross(hlin, jnp.array([1.0, 0.0, 1.0], vps.dtype)[None, :])
+    hp2 = _cross(hlin, jnp.array([-1.0, 0.0, 1.0], vps.dtype)[None, :])
+    hp1 = hp1 / hp1[:, 2:3]
+    hp2 = hp2 / hp2[:, 2:3]
+
+    cosphi = jnp.abs(jnp.sum(
+        hvec / hvec_norm[:, None]
+        * zenith / jnp.linalg.norm(zenith, axis=-1, keepdims=True), axis=-1))
+    ortho_score = jnp.where(num_zenith == 1, 1.0 - jnp.clip(cosphi, 0.0, 1.0), 0.0)
+
+    zenith_pos = jnp.where(z_vp[:, 1] > 0, 1.0, -1.0)
+    hor_pos = jnp.where((hp1[:, 1] + hp2[:, 1]) / 2 < 0, 1.0, -1.0)
+
+    costh = jnp.cos(theta_vmin)
+    gate = ((ab < costh) & (bc < costh) & (ac < costh)
+            & (num_zenith == 1) & (num_central <= 1)
+            & (hang < 30.0 * jnp.pi / 180.0)
+            & (zenith_pos * hor_pos == 1.0))
+
+    score = jnp.where(gate, 1.0, 0.0) * (ca + cb + cc) * ortho_score
+    score = jnp.where(tri_valid, score, -2.0)
+    score = jnp.where(jnp.isnan(score), -2.0, score)  # ref: NaN never wins
+
+    best = jnp.argmax(score)  # first max: matches strict-improvement loop
+
+    # ---- fallback branches (< 3 usable VPs), raw vps order ----
+    e010 = jnp.array([0.0, 1.0, 0.0], vps.dtype)
+    hlin_default = _cross(e3, jnp.array([1.0, 0.0, 1.0], vps.dtype))  # y = 0
+
+    def out_ge3():
+        return (hlin[best], z_vp[best], h_vp1[best], h_vp2[best],
+                best_vps[tri[best]])
+
+    def out_2():
+        return (_cross(vps[0], vps[1]), e010, vps[0], vps[1],
+                jnp.array([0, 1, 0], best_vps.dtype))
+
+    def out_1():
+        return (hlin_default, e010, vps[0], vps[0],
+                jnp.array([0, 0, 0], best_vps.dtype))
+
+    def out_0():
+        return (hlin_default, e010,
+                jnp.array([-1.0, 0.0, 0.0], vps.dtype),
+                jnp.array([1.0, 0.0, 0.0], vps.dtype),
+                jnp.array([0, 0, 0], best_vps.dtype))
+
+    case = jnp.clip(num_best, 0, 3)
+    outs = [f() for f in (out_0, out_1, out_2, out_ge3)]
+    sel = tuple(
+        jnp.select([case == 0, case == 1, case == 2],
+                   [o0, o1, o2], o3)
+        for o0, o1, o2, o3 in zip(*outs))
+    hlin_f, z_vp_f, h_vp1_f, h_vp2_f, combo_f = sel
+
+    hp1f = _cross(hlin_f, jnp.array([1.0, 0.0, 1.0], vps.dtype))
+    hp2f = _cross(hlin_f, jnp.array([-1.0, 0.0, 1.0], vps.dtype))
+    hp1f = hp1f / hp1f[2]
+    hp2f = hp2f / hp2f[2]
+
+    return hp1f, hp2f, z_vp_f, h_vp1_f, h_vp2_f, combo_f
