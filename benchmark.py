@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Benchmark driver — the reference CLI surface, TPU-native underneath.
+
+Mirrors ``benchmark.py`` of fkluger/vanishing_points_2017: pick a dataset
+(``--yud/--ecd/--hlw``, plus ``--synthetic`` which needs no downloads),
+optionally (re)compute per-image stages, then print per-image ``max_error``
+and the horizon-error AUC at cutoff 0.25.
+
+Differences by design (SURVEY §7): the CNN and EM stages are ONE fused XLA
+program (``--run_cnn`` / ``--run_em`` both enable it); stage state lives in
+npz files (config-keyed, resume-safe) instead of pickles; ``--gpu`` becomes
+``--device`` (any JAX backend); the CDF plot is written to a PNG instead of
+shown. The eval protocol is identical: first 25 images skipped on YUD/ECD,
+cutoff 0.25, top-20 VPs, theta_vmin = pi/10.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--yud", action="store_true", help="York Urban dataset")
+    ap.add_argument("--ecd", action="store_true", help="Eurasian Cities dataset")
+    ap.add_argument("--hlw", action="store_true", help="Horizon Lines in the Wild")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="self-contained synthetic benchmark (no downloads)")
+    ap.add_argument("--dataset_dir", default=None,
+                    help="dataset root (YUD/ECD/HLW)")
+    ap.add_argument("--result_dir", default="/tmp/vp_tpu",
+                    help="stage-cache directory")
+    ap.add_argument("--device", default=None,
+                    help="JAX platform override, e.g. cpu")
+    ap.add_argument("--update_datalist", action="store_true")
+    ap.add_argument("--update_datafiles", action="store_true")
+    ap.add_argument("--run_cnn", action="store_true",
+                    help="run the fused CNN+EM device stage")
+    ap.add_argument("--run_em", action="store_true",
+                    help="alias of --run_cnn (stages are fused)")
+    ap.add_argument("--weights", default=None,
+                    help=".npz params / .caffemodel to load")
+    ap.add_argument("--mean", default=None,
+                    help="mean image (.npy or .binaryproto)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="device batch for the fused stage")
+    ap.add_argument("--num_synthetic", type=int, default=50)
+    ap.add_argument("--no_weights_warn", action="store_true")
+    args = ap.parse_args()
+
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    from vanishing_points_2017_tpu.data import datasets as dsets
+    from vanishing_points_2017_tpu.data.cache import StageCache
+    from vanishing_points_2017_tpu.data import io as dio
+    from vanishing_points_2017_tpu.metrics import calc_auc
+    from vanishing_points_2017_tpu.pipeline import Pipeline, PipelineConfig
+    from vanishing_points_2017_tpu import weights as wload
+
+    if args.yud:
+        name, target = "york", None
+    elif args.ecd:
+        name, target = "eurasian", 800
+    elif args.hlw:
+        name, target = "horizon", 800
+    elif args.synthetic:
+        name, target = "synthetic", None
+    else:
+        ap.error("pick a dataset: --yud / --ecd / --hlw / --synthetic")
+
+    cfg = PipelineConfig()
+    params, mean = wload.load_params_and_mean(args.weights, args.mean,
+                                              warn=not args.no_weights_warn)
+    pipe = Pipeline(params=params, mean=mean, cfg=cfg)
+
+    if name == "synthetic":
+        records, start = dsets.synthetic_records(count=args.num_synthetic)
+    else:
+        if not args.dataset_dir:
+            ap.error(f"--dataset_dir required for {name}")
+        records, start = dsets.DATASETS[name][0](args.dataset_dir)
+
+    cache = StageCache(os.path.join(args.result_dir, name), cfg.cache_key())
+    print(f"dataset: {name}  images: {len(records)}  skip: {start}")
+
+    # ---- stage 1: host ingest + LSD ----
+    for rec in records:
+        if cache.has(rec.name, "lines") and not args.update_datafiles:
+            continue
+        img = rec.image if rec.image is not None else rec.image_path
+        host = pipe.ingest(img, target_size=target)
+        cache.save(rec.name, "lines", l=host["l"], lp=host["lp"],
+                   lmask=host["lmask"], segments=host["segments"],
+                   image_shape=np.asarray(host["image_shape"]))
+        print(f"lines: {rec.name}  segments={host['segments'].shape[0]}")
+
+    # ---- stage 2: fused device pass (CNN + EM + horizon), batched ----
+    if args.run_cnn or args.run_em:
+        todo = [r for r in records
+                if args.update_datafiles or not cache.has(r.name, "result")]
+        for i in range(0, len(todo), args.batch):
+            chunk = todo[i:i + args.batch]
+            bundles = [cache.load(r.name, "lines") for r in chunk]
+            while len(bundles) < args.batch:  # pad the last batch
+                bundles.append(bundles[-1])
+            t0 = time.time()
+            out = pipe.process_batch(bundles)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            dt = time.time() - t0
+            for j, rec in enumerate(chunk):
+                cache.save(rec.name, "result",
+                           **{k: v[j] for k, v in out.items()})
+            print(f"device batch {i // args.batch}: {len(chunk)} imgs "
+                  f"in {dt:.2f}s ({len(chunk) / dt:.2f} img/s)")
+
+    # ---- eval loop (identical protocol to the reference) ----
+    errors = []
+    start_time = time.time()
+    for count, rec in enumerate(records, 1):
+        if count <= start:
+            continue
+        if rec.true_horizon is None or not cache.has(rec.name, "result"):
+            continue
+        res = cache.load(rec.name, "result")
+        shape = cache.load(rec.name, "lines")["image_shape"]
+        est = np.cross(res["hp1"], res["hp2"])
+        err = dsets.normalized_horizon_error(
+            est, rec.true_horizon, width=int(shape[1]), height=int(shape[0]))
+        print(f"max_error: {err}")
+        errors.append(err)
+    print("time elapsed: ", time.time() - start_time)
+
+    if not errors:
+        print("no evaluated images (missing results or ground truth)")
+        return 1
+
+    auc, plot_points = calc_auc(np.array(errors), cutoff=0.25)
+    print("AUC: ", auc)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(plot_points[:, 0], plot_points[:, 1], "-", lw=2, c="b")
+        ax.set_xlabel("horizon error", fontsize=18)
+        ax.set_ylabel("fraction of images", fontsize=18)
+        ax.axis([0, 0.25, 0, 1])
+        out_png = os.path.join(args.result_dir, f"auc_{name}.png")
+        fig.savefig(out_png, dpi=120, bbox_inches="tight")
+        print(f"CDF plot: {out_png}")
+    except Exception as e:  # plotting is best-effort
+        print(f"plot skipped: {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,144 @@
+import io
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vanishing_points_2017_tpu.models import cnn, train, caffe_import
+
+
+def test_forward_shapes_and_range():
+    rng = jax.random.PRNGKey(0)
+    params = cnn.init_params(rng, input_size=250)
+    x = jnp.zeros((2, 250, 250, 1), jnp.float32)
+    y = cnn.forward(params, x)
+    assert y.shape == (2, 20, 20)
+    y = np.asarray(y)
+    assert np.all((y >= 0) & (y <= 1))
+
+
+def test_caffe_max_pool_ceil_semantics():
+    # 30x30 pooled 3/2 must give 15x15 (Caffe ceil), not 14x14
+    x = jnp.arange(30 * 30, dtype=jnp.float32).reshape(1, 30, 30, 1)
+    y = cnn.caffe_max_pool(x, 3, 2)
+    assert y.shape == (1, 15, 15, 1)
+    # last window hangs over the edge: max of the bottom-right 2x2 block
+    assert float(y[0, 14, 14, 0]) == float(x[0, 29, 29, 0])
+    # 123x123 -> 61x61 (exact), 61 -> 30
+    assert cnn.caffe_max_pool(jnp.zeros((1, 123, 123, 1)), 3, 2).shape[1] == 61
+    assert cnn.caffe_max_pool(jnp.zeros((1, 61, 61, 1)), 3, 2).shape[1] == 30
+
+
+def test_lrn_matches_naive():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 3, 8)).astype(np.float32)
+    got = np.asarray(cnn.lrn_across_channels(jnp.asarray(x)))
+    n, alpha, beta = 5, 1e-4, 0.75
+    half = (n - 1) // 2
+    want = np.zeros_like(x)
+    for c in range(8):
+        lo, hi = max(0, c - half), min(8, c + half + 1)
+        ssum = np.sum(x[..., lo:hi] ** 2, axis=-1)
+        want[..., c] = x[..., c] / (1 + alpha / n * ssum) ** beta
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_grouped_conv_halves_input_channels():
+    params = cnn.init_params(jax.random.PRNGKey(1))
+    assert params["conv2"]["w"].shape == (5, 5, 48, 256)  # 96/2 in
+    assert params["conv4"]["w"].shape == (3, 3, 192, 384)
+    assert params["conv5"]["w"].shape == (3, 3, 192, 256)
+    assert params["fc6"]["w"].shape == (cnn.FC6_IN, 4096)
+
+
+def test_train_step_reduces_loss():
+    state = train.init_state(jax.random.PRNGKey(2), input_size=250)
+    rng_np = np.random.default_rng(3)
+    imgs, labels = train.make_batch(rng_np, batch=2, n_pad=128, size=250)
+    rng = jax.random.PRNGKey(4)
+    losses = []
+    for i in range(4):
+        state, loss = train.train_step(state, imgs, labels,
+                                       jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # memorizes a 2-sample batch quickly
+
+
+def test_learning_rate_schedule():
+    np.testing.assert_allclose(float(train.learning_rate(jnp.asarray(0))),
+                               train.BASE_LR, rtol=1e-6)
+    np.testing.assert_allclose(float(train.learning_rate(jnp.asarray(200000))),
+                               train.BASE_LR * 0.1, rtol=1e-6)
+
+
+# ---- protobuf wire-format round trip for the caffe importer ----
+
+def _varint(v):
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num, wire, payload):
+    return _varint((num << 3) | wire) + payload
+
+
+def _len_field(num, data):
+    return _field(num, 2, _varint(len(data)) + data)
+
+
+def _blob(arr):
+    data = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+    shape_msg = b"".join(_field(1, 0, _varint(d)) for d in arr.shape)
+    return _len_field(5, data) + _len_field(7, shape_msg)
+
+
+def test_caffemodel_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    layers = b""
+    specs = {
+        "conv1": [(8, 1, 11, 11), (8,)], "conv2": [(16, 4, 5, 5), (16,)],
+        "conv3": [(16, 16, 3, 3), (16,)], "conv4": [(16, 8, 3, 3), (16,)],
+        "conv5": [(8, 8, 3, 3), (8,)],
+        "fc6": [(32, 72), (32,)], "fc7": [(32, 32), (32,)],
+        "fc8_20x20": [(400, 32), (400,)],
+    }
+    arrays = {}
+    for name, shapes in specs.items():
+        blobs = b""
+        arrays[name] = []
+        for s in shapes:
+            a = rng.normal(size=s).astype(np.float32) * 0.01
+            arrays[name].append(a)
+            blobs += _len_field(7, _blob(a))
+        layers += _len_field(100, _len_field(1, name.encode()) + blobs)
+    path = tmp_path / "w.caffemodel"
+    path.write_bytes(layers)
+
+    params = caffe_import.caffemodel_to_params(str(path))
+    # conv: OIHW -> HWIO
+    np.testing.assert_allclose(
+        np.asarray(params["conv2"]["w"]),
+        np.transpose(arrays["conv2"][0], (2, 3, 1, 0)), rtol=1e-6)
+    # fc: (out, in) -> (in, out)
+    np.testing.assert_allclose(np.asarray(params["fc6"]["w"]),
+                               arrays["fc6"][0].T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["fc8_20x20"]["b"]),
+                               arrays["fc8_20x20"][1], rtol=1e-6)
+    assert params["fc6"]["w"].shape == (72, 32)
+
+
+def test_mean_binaryproto(tmp_path):
+    mean = np.random.default_rng(6).uniform(0, 50, size=(1, 1, 8, 8)).astype(
+        np.float32)
+    path = tmp_path / "mean.binaryproto"
+    path.write_bytes(_blob(mean))
+    got = caffe_import.read_mean_binaryproto(str(path))
+    np.testing.assert_allclose(got, mean[0, 0], rtol=1e-6)

@@ -1,0 +1,101 @@
+"""End-to-end pipeline tests: real LSD on rendered images -> fused device
+program -> horizon, plus the cache and dataset plumbing."""
+
+import numpy as np
+import pytest
+
+from vanishing_points_2017_tpu.data import io as dio
+from vanishing_points_2017_tpu.data.cache import StageCache
+from vanishing_points_2017_tpu.data.datasets import (normalized_horizon_error,
+                                                     render_scene_image,
+                                                     synthetic_records)
+from vanishing_points_2017_tpu.models import synth
+from vanishing_points_2017_tpu.pipeline import (Pipeline, PipelineConfig,
+                                                pad_lines)
+
+# small-but-divisible sphere size keeps the CNN cheap on the test CPU
+CFG = PipelineConfig(sphere_size=240, n_pad=256)
+
+
+def test_lsd_extracts_scene_segments():
+    rng = np.random.default_rng(0)
+    scene = synth.make_scene(rng, lines_per_vp=30, outliers=5)
+    img = render_scene_image(scene, size=640)
+    det = dio.detect_lsd_lines(img.astype(np.float64))
+    segs = det["segments"]
+    # LSD sees both edges of each drawn bar; expect >= the drawn count
+    assert segs.shape[0] >= scene.segments.shape[0] * 0.8
+    # normalized frame: everything within [-1, 1] + margin
+    assert np.all(np.abs(segs) <= 1.05)
+
+
+def test_pad_lines_bucket_overflow_keeps_longest():
+    rng = np.random.default_rng(1)
+    seg = rng.uniform(-1, 1, size=(300, 4))
+    l, lp, m = pad_lines(seg, 128)
+    assert l.shape == (128, 3) and m.sum() == 128
+    # kept segments are the longest ones
+    length = np.hypot(seg[:, 0] - seg[:, 2], seg[:, 1] - seg[:, 3])
+    kept_min = np.sort(length)[-128]
+    got_len = np.hypot(lp[:, 0] - lp[:, 2], lp[:, 1] - lp[:, 3])
+    assert got_len.min() >= kept_min - 1e-6
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return Pipeline(cfg=CFG)
+
+
+def test_full_image_to_horizon(pipe):
+    # idealized-CNN shortcut is not available here: random weights mean the
+    # CNN prior is noise, so this checks WIRING (shapes/validity), not AUC
+    rng = np.random.default_rng(2)
+    scene = synth.make_scene(rng, lines_per_vp=40, outliers=8)
+    img = render_scene_image(scene, size=640)
+    res = pipe.process(img)
+    assert res["sphere_image"].shape == (240, 240)
+    assert res["cnn_prediction"].shape == (20, 20)
+    assert res["hp1"].shape == (3,)
+    assert np.isfinite(res["hp1"]).all() and np.isfinite(res["hp2"]).all()
+
+
+def test_batch_matches_single(pipe):
+    rng = np.random.default_rng(3)
+    bundles = []
+    for _ in range(2):
+        scene = synth.make_scene(rng, lines_per_vp=25, outliers=5)
+        l, lp, m = pad_lines(scene.segments, CFG.n_pad)
+        bundles.append({"l": l, "lp": lp, "lmask": m})
+    out_b = pipe.process_batch(bundles)
+    out_0 = pipe.run_lines(bundles[0]["l"], bundles[0]["lp"],
+                           bundles[0]["lmask"])
+    np.testing.assert_allclose(np.asarray(out_b["cnn_prediction"])[0],
+                               np.asarray(out_0["cnn_prediction"]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b["hp1"])[0],
+                               np.asarray(out_0["hp1"]), atol=1e-4)
+
+
+def test_stage_cache_roundtrip(tmp_path):
+    cache = StageCache(str(tmp_path), "cfgkey")
+    cache.save("img_001", "lines", segments=np.ones((5, 4)),
+               image_shape=np.array([480, 640]))
+    assert cache.has("img_001", "lines")
+    assert not cache.has("img_001", "result")
+    got = cache.load("img_001", "lines")
+    np.testing.assert_array_equal(got["segments"], np.ones((5, 4)))
+
+
+def test_synthetic_records_have_gt():
+    recs, start = synthetic_records(count=3, seed=1)
+    assert start == 0 and len(recs) == 3
+    for r in recs:
+        assert r.image is not None and r.true_horizon is not None
+
+
+def test_normalized_horizon_error_zero_for_exact():
+    h = np.array([0.1, 1.0, -0.05])
+    assert normalized_horizon_error(h, h, 640, 480) == 0.0
+    h2 = np.array([0.0, 1.0, 0.1])  # horizontal line shifted by 0.1... y=-0.1
+    e = normalized_horizon_error(np.array([0.0, 1.0, 0.0]), h2, 640, 480)
+    np.testing.assert_allclose(e, 0.1 / 2 * 640 / 480, rtol=1e-6)

@@ -1,0 +1,162 @@
+"""End-to-end pipeline: image -> lines -> sphere -> CNN -> EM -> horizon.
+
+Where the reference chains four separate passes through on-disk pickles with
+three process/language boundaries (SURVEY §3.1 of the analysis of
+fkluger/vanishing_points_2017: ImageMagick subprocess -> Cython LSD ->
+matplotlib Agg -> Caffe GPU -> NumPy EM), this pipeline has exactly one host
+stage (LSD on the ingested image) and ONE fused XLA program for everything
+after it: sphere render, CNN forward, EM refinement and horizon estimation
+compile into a single jit function, vmapped over image batches and
+shardable over a device mesh (batch axis on ``dp``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .data import io as dio
+from .em import EMConfig, EMResult, expectation_maximisation
+from .em.horizon import calculate_horizon_and_ortho_vp
+from .models import cnn as cnn_mod
+from .ops import lines as lineops
+from .ops import sphere as sphere_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sphere_size: int = 500
+    n_pad: int = 512             # line-count bucket (static shape)
+    em: EMConfig = EMConfig()
+    maxbest: int = 20            # best VPs for the horizon search
+    theta_vmin: float = float(np.pi / 10)
+
+    def cache_key(self) -> str:
+        """Config-dependent cache identity, like the reference's encoded
+        folder names (``evaluation.py:60-67``)."""
+        e = self.em
+        return (f"{e.distance_measure}_{'' if e.use_weights else 'no'}weights"
+                f"_{'' if e.do_split else 'no'}split"
+                f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}")
+
+
+def pad_lines(segments: np.ndarray, n_pad: int):
+    """Normalized segments -> padded (l, lp, lmask) arrays.
+
+    Keeps the longest segments when there are more than n_pad (stable for
+    typical scenes: YUD/ECD images yield a few hundred LSD segments).
+    """
+    n = segments.shape[0]
+    if n > n_pad:
+        length = np.hypot(segments[:, 0] - segments[:, 2],
+                          segments[:, 1] - segments[:, 3])
+        keep = np.sort(np.argsort(-length)[:n_pad])
+        segments = segments[keep]
+        n = n_pad
+    lp = np.zeros((n_pad, 4), np.float32)
+    lp[:n] = segments[:, :4]
+    p1 = np.concatenate([lp[:n, 0:2], np.ones((n, 1), np.float32)], axis=1)
+    p2 = np.concatenate([lp[:n, 2:4], np.ones((n, 1), np.float32)], axis=1)
+    l = np.zeros((n_pad, 3), np.float32)
+    l[:n] = np.cross(p1, p2)
+    lmask = np.arange(n_pad) < n
+    return l, lp, lmask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
+                    params: Any, mean: jnp.ndarray,
+                    cfg: PipelineConfig) -> dict:
+    """The fused per-image program. All shapes static.
+
+    l/lp/lmask: (N,3)/(N,4)/(N,) padded lines; params: CNN pytree; mean:
+    (S, S) training mean image. Returns a dict of device arrays.
+    """
+    img_u8 = sphere_mod.sphere_image_uint8(l, lmask, size=cfg.sphere_size)
+    x = cnn_mod.preprocess(img_u8[None], mean)
+    pred = cnn_mod.forward(params, x)[0]  # (20, 20)
+    em = expectation_maximisation(l, lp, pred, img_u8.astype(jnp.float32),
+                                  lmask, cfg.em)
+    hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(
+        em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
+        theta_vmin=cfg.theta_vmin)
+    return {
+        "sphere_image": img_u8,
+        "cnn_prediction": pred,
+        "vp": em.vp, "alive": em.alive, "counts": em.counts,
+        "counts_weighted": em.counts_weighted, "vp_assoc": em.vp_assoc,
+        "iterations": em.iterations, "em_valid": em.valid,
+        "hp1": hp1, "hp2": hp2, "zenith_vp": z_vp,
+        "horizon_vp1": h_vp1, "horizon_vp2": h_vp2, "best_combo": combo,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def device_pipeline_batch(l, lp, lmask, params, mean, cfg: PipelineConfig):
+    """vmapped fused program over an image batch — the throughput path."""
+    return jax.vmap(
+        lambda a, b, c: device_pipeline(a, b, c, params, mean, cfg)
+    )(l, lp, lmask)
+
+
+class Pipeline:
+    """Host orchestration: ingest + LSD on host, everything else on device."""
+
+    def __init__(self, params: Any = None, mean: np.ndarray | None = None,
+                 cfg: PipelineConfig = PipelineConfig(),
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        if params is None:
+            params = cnn_mod.init_params(jax.random.PRNGKey(rng_seed),
+                                         input_size=cfg.sphere_size)
+        self.params = params
+        if mean is None:
+            mean = np.zeros((cfg.sphere_size, cfg.sphere_size), np.float32)
+        self.mean = jnp.asarray(mean, jnp.float32)
+
+    # ---- host stages ----
+
+    def ingest(self, image: np.ndarray | str,
+               target_size: int | None = None) -> dict:
+        """Load/resize/grayscale + LSD. Returns the host-side line bundle."""
+        if isinstance(image, str):
+            image = dio.load_image(image)
+        if target_size is not None:
+            image = dio.resize_max(image, target_size)
+        gray = dio.rgb2gray(image)
+        det = dio.detect_lsd_lines(gray)
+        l, lp, lmask = pad_lines(det["segments"], self.cfg.n_pad)
+        return {"image_shape": gray.shape, "segments": det["segments"],
+                "nfa": det["nfa"], "l": l, "lp": lp, "lmask": lmask}
+
+    # ---- fused device stage ----
+
+    def run_lines(self, l, lp, lmask) -> dict:
+        out = device_pipeline(jnp.asarray(l), jnp.asarray(lp),
+                              jnp.asarray(lmask), self.params, self.mean,
+                              self.cfg)
+        return out
+
+    def process(self, image: np.ndarray | str,
+                target_size: int | None = None) -> dict:
+        host = self.ingest(image, target_size)
+        out = self.run_lines(host["l"], host["lp"], host["lmask"])
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out.update(image_shape=host["image_shape"],
+                   segments=host["segments"])
+        return out
+
+    def process_batch(self, bundles: list[dict]) -> dict:
+        l = jnp.asarray(np.stack([b["l"] for b in bundles]))
+        lp = jnp.asarray(np.stack([b["lp"] for b in bundles]))
+        m = jnp.asarray(np.stack([b["lmask"] for b in bundles]))
+        return device_pipeline_batch(l, lp, m, self.params, self.mean,
+                                     self.cfg)
+
+    def horizon_line(self, out: dict) -> np.ndarray:
+        return np.cross(np.asarray(out["hp1"]), np.asarray(out["hp2"]))

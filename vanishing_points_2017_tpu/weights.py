@@ -1,0 +1,64 @@
+"""Parameter/mean loading: npz checkpoints or Caffe artifacts.
+
+The reference hard-codes ``cnn/weights.caffemodel`` + ``cnn/mean.binaryproto``
+paths in ``config.py:7-8`` (both downloaded artifacts). Here weights come
+from (in priority order): an explicit ``.npz``/``.caffemodel`` path, the
+bundled ``assets/weights.npz`` if present, else freshly initialized params
+(with a warning — AUC numbers are meaningless without trained weights).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def params_to_npz(params, path: str) -> None:
+    flat = {}
+    for layer, d in params.items():
+        for k, v in d.items():
+            flat[f"{layer}/{k}"] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def params_from_npz(path: str):
+    import jax.numpy as jnp
+
+    params: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            layer, k = key.split("/")
+            params.setdefault(layer, {})[k] = jnp.asarray(z[key])
+    return params
+
+
+def default_weights_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "assets", "weights.npz")
+
+
+def load_params_and_mean(weights_path: str | None = None,
+                         mean_path: str | None = None, warn: bool = True):
+    """Returns (params_or_None, mean_or_None) ready for ``Pipeline``."""
+    from .models import caffe_import
+
+    params = None
+    if weights_path is None and os.path.isfile(default_weights_path()):
+        weights_path = default_weights_path()
+    if weights_path:
+        if weights_path.endswith(".caffemodel"):
+            params = caffe_import.caffemodel_to_params(weights_path)
+        else:
+            params = params_from_npz(weights_path)
+    elif warn:
+        print("WARNING: no trained weights found - using random init "
+              "(train with train_cnn.py or pass --weights)")
+
+    mean = None
+    if mean_path:
+        if mean_path.endswith(".binaryproto"):
+            mean = caffe_import.read_mean_binaryproto(mean_path)
+        else:
+            mean = np.load(mean_path)
+    return params, mean
