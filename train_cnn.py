@@ -28,6 +28,10 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=400_000)
     ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--base_lr", type=float, default=None,
+                    help="override the solver base_lr (default 1e-4)")
+    ap.add_argument("--lr_stepsize", type=int, default=None,
+                    help="override the x0.1 decay step (default 200k)")
     ap.add_argument("--snapshot", type=int, default=10_000)
     ap.add_argument("--display", type=int, default=100)
     ap.add_argument("--out", default="assets/weights.npz")
@@ -46,6 +50,11 @@ def main() -> int:
 
     from vanishing_points_2017_tpu import weights as wload
     from vanishing_points_2017_tpu.models import train
+
+    if args.base_lr is not None:
+        train.BASE_LR = args.base_lr
+    if args.lr_stepsize is not None:
+        train.LR_STEPSIZE = args.lr_stepsize
 
     rng_np = np.random.default_rng(args.seed)
 

@@ -197,3 +197,60 @@ DATASETS = {
     "horizon": (hlw_records, 800),
     "synthetic": (synthetic_records, None),
 }
+
+
+def get_data_list(source_folder: str, destination_folder: str, name: str,
+                  dataset_name: str | None = None,
+                  distance_measure: str = "angle", use_weights: bool = True,
+                  do_split: bool = True, do_merge: bool = True,
+                  update: bool = False) -> dict:
+    """Manifest builder mirroring the reference's ``get_data_list``
+    (``evaluation.py:55-118``): encodes the EM config into the dataset name
+    (config => cache identity), globs the image list per dataset convention,
+    and persists the manifest (JSON here, pickle there) for reuse unless
+    ``update``.
+    """
+    import json
+
+    fullname = (f"{name}_{distance_measure}_"
+                f"{'' if use_weights else 'no'}weights_"
+                f"{'' if do_split else 'no'}split_"
+                f"{'' if do_merge else 'no'}merge")
+    manifest_path = os.path.join(destination_folder, f"{fullname}.json")
+
+    if os.path.isfile(manifest_path) and not update:
+        with open(manifest_path) as fh:
+            return json.load(fh)
+
+    if dataset_name == "york":
+        image_files = glob.glob(os.path.join(source_folder, "P*", "P*.jpg"))
+    elif dataset_name == "eurasian":
+        image_files = glob.glob(os.path.join(source_folder, "*.jpg"))
+    elif dataset_name == "horizon":
+        with open(os.path.join(source_folder, "split", "test.txt")) as fh:
+            image_files = [os.path.join(source_folder, "images", ln.strip())
+                           for ln in fh if ln.strip()]
+    else:
+        image_files = []
+        for ext in ("*.jpg", "*.png", "*.pgm"):
+            image_files += glob.glob(os.path.join(source_folder, ext))
+    image_files.sort()
+
+    dest = os.path.join(destination_folder, fullname)
+    dataset = {
+        "source_folder": source_folder,
+        "destination_folder": dest,
+        "name": fullname,
+        "distance_measure": distance_measure,
+        "use_weights": use_weights,
+        "do_split": do_split,
+        "do_merge": do_merge,
+        "image_files": image_files,
+        "cache_files": [os.path.join(
+            dest, os.path.splitext(os.path.basename(f))[0] + ".result.npz")
+            for f in image_files],
+    }
+    os.makedirs(dest, exist_ok=True)
+    with open(manifest_path, "w") as fh:
+        json.dump(dataset, fh, indent=1)
+    return dataset

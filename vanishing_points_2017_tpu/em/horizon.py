@@ -33,6 +33,21 @@ import jax
 import jax.numpy as jnp
 
 
+def num_combo3(n: int) -> int:
+    """C(n, 3) via the reference's recurrence (``calc_horizon.py:3-8``,
+    duplicated in its dead ``utilities.py``)."""
+    if n < 3:
+        return 0
+    return n * (n - 1) * (n - 2) // 6
+
+
+def vp_in_image(vp: np.ndarray) -> bool:
+    """|x/z|, |y/z| <= 1 (``VPinImage``, ``calc_horizon.py:11-16``)."""
+    v = np.asarray(vp, np.float64)
+    v = v / v[2]
+    return bool(abs(v[0]) <= 1 and abs(v[1]) <= 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _triplets(n: int) -> np.ndarray:
     """All (i, j, k), i<j<k in the reference's loop order (lexicographic)."""

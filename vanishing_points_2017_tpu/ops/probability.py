@@ -257,6 +257,38 @@ def calc_lvsq_single(v: jnp.ndarray, lp: jnp.ndarray) -> jnp.ndarray:
     return d * d
 
 
+def pdf_grid(cnn_response: jnp.ndarray, n: int = 50,
+             wrap_quirk: bool = True) -> dict:
+    """Evaluate the GMM prior on an n x n angle grid for visualization
+    (``pdf_grid``/``calc_pdf_grid``, ``probability_functions.py:43-59,
+    269-296`` — exported but unused by the reference pipeline)."""
+    pdfpar = pdf_params(cnn_response)
+    xs = jnp.arange(-jnp.pi / 2, jnp.pi / 2, jnp.pi / n)
+    grid_x, grid_y = jnp.meshgrid(xs, xs)
+    q = jnp.stack([grid_x.reshape(-1), grid_y.reshape(-1)], axis=-1)
+    p = calc_pdf(pdfpar, q, wrap_quirk=wrap_quirk).reshape(grid_x.shape)
+    return {"X": grid_x, "Y": grid_y, "p": p}
+
+
+def calc_vp_line_triangles(vp: jnp.ndarray, lp: jnp.ndarray) -> jnp.ndarray:
+    """Signed VP-facing test per segment (``calc_vp_line_triangles``,
+    ``probability_functions.py:299-316`` — exported, unused in the main
+    path). vp: (3,), lp: (N, 4). Returns (N,)."""
+    v = vp[0:2] / vp[2]
+    p1, p2 = lp[:, 0:2], lp[:, 2:4]
+    a1 = jnp.sum((v[None, :] - p1) * (p2 - p1), axis=-1)
+    a2 = jnp.sum((v[None, :] - p2) * (p1 - p2), axis=-1)
+    return jnp.where(a1 > 0, jnp.minimum(a1, a2), a1)
+
+
+def vp_is_within_image(vp: jnp.ndarray) -> jnp.ndarray:
+    """|x/z|, |y/z| < 2 test (``vp_is_within_image``,
+    ``probability_functions.py:319-324`` — note the looser +-2 bound vs the
+    horizon module's +-1 ``VPinImage``)."""
+    v2 = vp[..., 0:2] / vp[..., 2:3]
+    return (jnp.abs(v2[..., 0]) < 2) & (jnp.abs(v2[..., 1]) < 2)
+
+
 def calc_lvsq_area_single(v: jnp.ndarray, lp: jnp.ndarray) -> jnp.ndarray:
     """Per-(VP, line) area measure (``calc_lvsq_area_single``,
     ``probability_functions.py:227-248``)."""

@@ -121,3 +121,48 @@ def sphere_image_uint8(l: jnp.ndarray, lmask: jnp.ndarray, size: int = 500,
     (``evaluation.py:12-14,175``: size=500, alpha=0.1)."""
     img = sphere_render(l, lmask, size=size, alpha=alpha, linewidth=linewidth)
     return jnp.floor(img * 255.0).astype(jnp.uint8)
+
+
+def save_sphere_image(l, lmask, filename: str, size: int = 500,
+                      alpha: float = 0.5) -> None:
+    """Render + save to an image file (the reference's
+    ``sphere_line_plot_image``/``plot_sphere_lines_to_tile``,
+    ``sphere_mapping.py:75-83``)."""
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(sphere_image_uint8(l, lmask, size=size, alpha=alpha))
+    Image.fromarray(img, "L").save(filename)
+
+
+def segments_image(lp: jnp.ndarray, lmask: jnp.ndarray,
+                   size: int = 250) -> jnp.ndarray:
+    """Rasterize raw segments in the normalized frame to a grayscale image
+    (the reference's unused ``makeImage``, ``sphere_mapping.py:86-104``) —
+    white 1-px segments on black, analytic coverage like the main renderer.
+    """
+    lp = lp.astype(jnp.float32)
+    px = jnp.arange(size, dtype=jnp.float32)
+    # data range [-1, 1] across the canvas; y up -> row 0 top
+    xs = (px - 0.5 * size + 0.5) * (2.0 / size)
+    ys = -(px - 0.5 * size + 0.5) * (2.0 / size)
+    gx, gy = jnp.meshgrid(xs, ys)
+    pts = jnp.stack([gx, gy], axis=-1)  # (S, S, 2)
+
+    a = lp[:, 0:2]
+    b = lp[:, 2:4]
+    ab = b - a
+    denom = jnp.sum(ab * ab, axis=-1)
+    denom = jnp.where(denom == 0, 1.0, denom)
+
+    def one(seg_a, seg_ab, seg_denom, valid):
+        t = jnp.clip(jnp.sum((pts - seg_a) * seg_ab, axis=-1) / seg_denom,
+                     0.0, 1.0)
+        closest = seg_a + t[..., None] * seg_ab
+        dist = jnp.linalg.norm(pts - closest, axis=-1) * (size / 2.0)
+        cov = jnp.clip(1.0 - dist, 0.0, 1.0)
+        return jnp.where(valid, cov, 0.0)
+
+    cov = jax.vmap(one)(a, ab, denom, lmask)  # (L, S, S)
+    img = jnp.max(cov, axis=0)
+    return jnp.floor(img * 255.0).astype(jnp.uint8)

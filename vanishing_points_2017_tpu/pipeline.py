@@ -35,6 +35,7 @@ class PipelineConfig:
     em: EMConfig = EMConfig()
     maxbest: int = 20            # best VPs for the horizon search
     theta_vmin: float = float(np.pi / 10)
+    renderer: str = "xla"        # "xla" | "pallas" (TPU-only kernel)
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -77,7 +78,12 @@ def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
     l/lp/lmask: (N,3)/(N,4)/(N,) padded lines; params: CNN pytree; mean:
     (S, S) training mean image. Returns a dict of device arrays.
     """
-    img_u8 = sphere_mod.sphere_image_uint8(l, lmask, size=cfg.sphere_size)
+    if cfg.renderer == "pallas":
+        from .ops.sphere_pallas import sphere_render_pallas
+        img = sphere_render_pallas(l, lmask, size=cfg.sphere_size)
+        img_u8 = jnp.floor(img * 255.0).astype(jnp.uint8)
+    else:
+        img_u8 = sphere_mod.sphere_image_uint8(l, lmask, size=cfg.sphere_size)
     x = cnn_mod.preprocess(img_u8[None], mean)
     pred = cnn_mod.forward(params, x)[0]  # (20, 20)
     em = expectation_maximisation(l, lp, pred, img_u8.astype(jnp.float32),

@@ -19,7 +19,9 @@ def params_to_npz(params, path: str) -> None:
     for layer, d in params.items():
         for k, v in d.items():
             flat[f"{layer}/{k}"] = np.asarray(v)
-    np.savez_compressed(path, **flat)
+    # uncompressed: trained float weights are incompressible and zlib on the
+    # single host core stalls training for minutes per snapshot
+    np.savez(path, **flat)
 
 
 def params_from_npz(path: str):
