@@ -42,8 +42,13 @@ def main() -> int:
                                                     device_pipeline_batch,
                                                     pad_lines)
 
+    from vanishing_points_2017_tpu import weights as wload
+
     cfg = PipelineConfig()
-    pipe = Pipeline(cfg=cfg)  # random weights: CNN cost is weight-agnostic
+    # trained weights when available: the EM iteration count (and thus the
+    # honest throughput) depends on the CNN prior's quality
+    params, mean = wload.load_params_and_mean(warn=False)
+    pipe = Pipeline(params=params, mean=mean, cfg=cfg)
 
     # build a realistic batch of line bundles (no LSD in the hot loop)
     rng = np.random.default_rng(0)

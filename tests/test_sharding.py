@@ -61,3 +61,25 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn).lower(*args).compile()
     assert out is not None
+
+
+def test_sharded_lsim_matches_dense():
+    import numpy as np
+    from vanishing_points_2017_tpu.ops import lines as lineops
+    from vanishing_points_2017_tpu.parallel.sharded_lsim import (
+        calc_lsim_sharded)
+
+    rng = np.random.default_rng(0)
+    n = 64  # divisible by dp=8
+    lp = rng.uniform(-1, 1, size=(n, 4)).astype(np.float32)
+    mask = np.arange(n) < 50
+
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+    got = np.asarray(calc_lsim_sharded(jnp.asarray(lp), jnp.asarray(mask),
+                                       mesh, sigma=1.0))
+    want = np.asarray(lineops.calc_lsim(jnp.asarray(lp), jnp.asarray(mask),
+                                        sigma=1.0))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    with __import__("pytest").raises(ValueError):
+        calc_lsim_sharded(jnp.asarray(lp[:63]), jnp.asarray(mask[:63]), mesh)
