@@ -31,7 +31,7 @@ REFERENCE_IMAGES_PER_SEC = 0.2  # documented estimate, see BASELINE.md
 
 
 def main() -> int:
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     import jax
@@ -64,8 +64,9 @@ def main() -> int:
 
     def run():
         out = device_pipeline_batch(l, lp, m, pipe.params, pipe.mean, cfg)
-        jax.block_until_ready(out)
-        return out
+        # NB: jax.block_until_ready does not actually block on the axon
+        # platform — force a device->host readback so the timing is honest
+        return float(jnp.sum(out["hp1"]))
 
     t0 = time.time()
     run()  # compile

@@ -24,7 +24,10 @@ def test_pallas_matches_xla_renderer():
                                           size=size, tile_r=40,
                                           interpret=True))
     assert got.shape == ref.shape
-    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # the kernel's polynomial atan (Mosaic has no atan primitive) shifts
+    # curve rows by <= ~0.002 px; intensity differs by up to ~1e-3
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+    assert np.mean(np.abs(got - ref)) < 1e-4
 
 
 def test_pallas_empty_mask_black():

@@ -73,10 +73,10 @@ def main() -> int:
 
     state = train.init_state(jax.random.PRNGKey(args.seed))
     if args.resume:
-        params = wload.params_from_npz(args.resume)
+        params, step0 = wload.params_from_npz(args.resume, with_step=True)
         state = train.TrainState(params=params,
                                  momentum=jax.tree.map(jnp.zeros_like, params),
-                                 step=state.step)
+                                 step=jnp.asarray(step0, jnp.int32))
 
     rng = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
@@ -93,7 +93,7 @@ def main() -> int:
                   flush=True)
             running, t0 = [], time.time()
         if (step + 1) % args.snapshot == 0 or step + 1 == args.steps:
-            wload.params_to_npz(state.params, args.out)
+            wload.params_to_npz(state.params, args.out, step=step + 1)
             print(f"snapshot -> {args.out}", flush=True)
     return 0
 

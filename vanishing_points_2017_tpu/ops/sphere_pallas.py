@@ -30,16 +30,37 @@ from .sphere import DEFAULT_LINEWIDTH_PX
 LINE_CHUNK = 8
 
 
+def _atan(u: jnp.ndarray) -> jnp.ndarray:
+    """arctan via range-reduced polynomial (Mosaic has no atan primitive).
+
+    Abramowitz & Stegun 4.4.49 on t = min(|u|, 1/|u|) (|err| <= 1e-5 rad,
+    i.e. < 0.002 px at size 500), completed by atan(u) = pi/2 - atan(1/u)
+    for |u| > 1 and odd symmetry. atan(+-inf) -> +-pi/2 falls out of the
+    reduction (1/inf = 0).
+    """
+    au = jnp.abs(u)
+    inv = au > 1.0
+    t = jnp.where(inv, 1.0 / jnp.where(au == 0, 1.0, au), au)
+    t2 = t * t
+    p = (0.9998660 + t2 * (-0.3302995 + t2 * (0.1801410 + t2 * (
+        -0.0851330 + t2 * 0.0208351))))
+    a = t * p
+    a = jnp.where(inv, jnp.pi / 2 - a, a)
+    return jnp.sign(u) * a
+
+
 def _render_kernel(l_ref, mask_ref, out_ref, *, size: int, tile_r: int,
                    alpha: float, half_w: float):
     i = pl.program_id(0)
     row0 = i * tile_r
 
-    cols = jax.lax.broadcasted_iota(jnp.float32, (1, size), 1)
+    # iota must be integer-typed on Mosaic; cast to float after
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
     alphas = (cols - 0.5 * size + 0.5) * (jnp.pi / size)
     sa = jnp.sin(alphas)  # (1, S)
     ca = jnp.cos(alphas)
-    rows = row0 + jax.lax.broadcasted_iota(jnp.float32, (tile_r, 1), 0)
+    rows = row0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_r, 1), 0).astype(jnp.float32)
 
     n_chunks = l_ref.shape[0] // LINE_CHUNK
 
@@ -49,7 +70,7 @@ def _render_kernel(l_ref, mask_ref, out_ref, *, size: int, tile_r: int,
         l0 = lc[:, 0:1]
         l1 = lc[:, 1:2]
         l2 = lc[:, 2:3]
-        beta = jnp.arctan((-l0 * sa - l2 * ca) / l1)  # (C, S)
+        beta = _atan((-l0 * sa - l2 * ca) / l1)  # (C, S)
         rc = 0.5 * size - 0.5 - beta * (size / jnp.pi)
         rc = jnp.where(jnp.isnan(rc), -1e6, rc)
         # central-difference slope over columns
@@ -62,13 +83,16 @@ def _render_kernel(l_ref, mask_ref, out_ref, *, size: int, tile_r: int,
         m = jnp.where(first, rcp - rc, jnp.where(last, rc - rcm, m))
         inv_scale = jax.lax.rsqrt(1.0 + m * m)  # (C, S)
 
-        def one_line(k, acc):
+        # static unroll over the chunk: Mosaic cannot dynamic_slice a value
+        # by a traced index, and static indexing keeps each (R, S) coverage
+        # temporary live only briefly in VMEM
+        acc = log_t
+        for k in range(LINE_CHUNK):
             dist = jnp.abs(rows - rc[k, :][None, :]) * inv_scale[k, :][None, :]
             cov = jnp.clip(0.5 + half_w - dist, 0.0, 1.0)
             cov = jnp.where(mc[k, 0] > 0, cov, 0.0)
-            return acc + jnp.log1p(-alpha * cov)
-
-        return jax.lax.fori_loop(0, LINE_CHUNK, one_line, log_t)
+            acc = acc + jnp.log1p(-alpha * cov)
+        return acc
 
     log_t = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((tile_r, size), jnp.float32))
@@ -91,8 +115,11 @@ def sphere_render_pallas(l: jnp.ndarray, lmask: jnp.ndarray, size: int = 500,
     l = l.astype(jnp.float32)
     maskf = lmask.astype(jnp.float32)[:, None]
 
-    if size % tile_r:
-        tile_r = size  # fall back to one tile
+    # Mosaic requires the sublane (second-to-last) block dim to be a
+    # multiple of 8 or the full array dim; 500 has no such divisor, so fall
+    # back to one full-image tile (1 MB VMEM accumulator) when needed.
+    if size % tile_r or tile_r % 8:
+        tile_r = size
 
     kernel = functools.partial(_render_kernel, size=size, tile_r=tile_r,
                                alpha=alpha, half_w=0.5 * linewidth)

@@ -14,25 +14,31 @@ import os
 import numpy as np
 
 
-def params_to_npz(params, path: str) -> None:
+def params_to_npz(params, path: str, step: int | None = None) -> None:
     flat = {}
     for layer, d in params.items():
         for k, v in d.items():
             flat[f"{layer}/{k}"] = np.asarray(v)
+    if step is not None:
+        flat["__step__"] = np.asarray(step)
     # uncompressed: trained float weights are incompressible and zlib on the
     # single host core stalls training for minutes per snapshot
     np.savez(path, **flat)
 
 
-def params_from_npz(path: str):
+def params_from_npz(path: str, with_step: bool = False):
     import jax.numpy as jnp
 
     params: dict = {}
+    step = 0
     with np.load(path) as z:
         for key in z.files:
+            if key == "__step__":
+                step = int(z[key])
+                continue
             layer, k = key.split("/")
             params.setdefault(layer, {})[k] = jnp.asarray(z[key])
-    return params
+    return (params, step) if with_step else params
 
 
 def default_weights_path() -> str:
