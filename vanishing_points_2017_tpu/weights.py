@@ -46,6 +46,11 @@ def default_weights_path() -> str:
     return os.path.join(here, "assets", "weights.npz")
 
 
+def default_mean_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "assets", "mean.npy")
+
+
 def load_params_and_mean(weights_path: str | None = None,
                          mean_path: str | None = None, warn: bool = True):
     """Returns (params_or_None, mean_or_None) ready for ``Pipeline``."""
@@ -64,6 +69,8 @@ def load_params_and_mean(weights_path: str | None = None,
               "(train with train_cnn.py or pass --weights)")
 
     mean = None
+    if mean_path is None and os.path.isfile(default_mean_path()):
+        mean_path = default_mean_path()
     if mean_path:
         if mean_path.endswith(".binaryproto"):
             mean = caffe_import.read_mean_binaryproto(mean_path)
