@@ -99,3 +99,26 @@ def test_normalized_horizon_error_zero_for_exact():
     h2 = np.array([0.0, 1.0, 0.1])  # horizontal line shifted by 0.1... y=-0.1
     e = normalized_horizon_error(np.array([0.0, 1.0, 0.0]), h2, 640, 480)
     np.testing.assert_allclose(e, 0.1 / 2 * 640 / 480, rtol=1e-6)
+
+
+def test_device_detector_finds_scene_lines():
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    rng = np.random.default_rng(7)
+    scene = synth.make_scene(rng, lines_per_vp=30, outliers=5)
+    img = render_scene_image(scene, size=640, rng=rng).astype(np.float32)
+    seg, mask = detect_segments_device(jnp.asarray(img), max_segments=256)
+    seg, mask = np.asarray(seg), np.asarray(mask)
+    n = mask.sum()
+    assert n >= 40  # the ~90 drawn bars yield edge segments
+    gt = scene.lines / np.linalg.norm(scene.lines[:, :2], axis=1,
+                                      keepdims=True)
+    ds = []
+    for s in seg[mask]:
+        d1 = np.abs(gt @ np.array([s[0], s[1], 1.0])).min()
+        d2 = np.abs(gt @ np.array([s[2], s[3], 1.0])).min()
+        ds.append(max(d1, d2))
+    # median endpoint-to-support-line distance within ~2.5 px
+    assert np.median(ds) < 2.5 * 2 / 640, np.median(ds)

@@ -113,9 +113,7 @@ def make_batch(rng_np, batch: int, mean: jnp.ndarray | None = None,
 
     ls, masks, labels = [], [], []
     for _ in range(batch):
-        scene = synth.make_scene(rng_np,
-                                 lines_per_vp=int(rng_np.integers(15, 60)),
-                                 outliers=int(rng_np.integers(0, 30)))
+        scene = synth.make_training_scene(rng_np)
         n = min(scene.lines.shape[0], n_pad)
         l = np.zeros((n_pad, 3), np.float32)
         l[:n] = scene.lines[:n]

@@ -110,6 +110,26 @@ def device_pipeline_batch(l, lp, lmask, params, mean, cfg: PipelineConfig):
     )(l, lp, lmask)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
+                         cfg: PipelineConfig) -> dict:
+    """The ZERO-host-round-trip program: grayscale images in, horizons out.
+
+    Uses the on-device line detector (``ops/lines_device.py``) instead of
+    the host C++ LSD, so detection + render + CNN + EM + horizon compile
+    into one XLA program. images: (B, H, W) float in [0, 255].
+    """
+    from .ops.lines_device import detect_segments_device
+
+    def one(img):
+        lp, lmask = detect_segments_device(img, max_segments=cfg.n_pad)
+        l = lineops.segments_to_homogeneous(lp)
+        l = jnp.where(lmask[:, None], l, 0.0)
+        return device_pipeline(l, lp, lmask, params, mean, cfg)
+
+    return jax.vmap(one)(images)
+
+
 class Pipeline:
     """Host orchestration: ingest + LSD on host, everything else on device."""
 
