@@ -23,8 +23,6 @@ Conversion to this package's layout:
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .data import io as dio
-from .em import EMConfig, EMResult, expectation_maximisation
+from .em import EMConfig, expectation_maximisation
 from .em.horizon import calculate_horizon_and_ortho_vp
 from .models import cnn as cnn_mod
 from .ops import lines as lineops
