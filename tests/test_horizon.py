@@ -79,3 +79,23 @@ def test_gates_all_fail_uses_first_triplet():
     # the returned horizon is finite and derived from triplet (0, 1, 2)
     assert np.all(np.isfinite(np.asarray(hp1)))
     assert set(np.asarray(combo).tolist()) == {0, 1, 2}
+
+
+def test_two_vp_fallback_with_dead_leading_slots():
+    # alive VPs in slots 3 and 7 (leading slots dead): the fallback must use
+    # the first ALIVE slots, not raw rows 0/1 (which are zero vectors)
+    ms = 10
+    v = np.zeros((ms, 3), np.float32)
+    c = np.zeros(ms, np.float32)
+    a = np.zeros(ms, bool)
+    vps = np.array([[0.5, 0.1, 1.0], [-0.7, 0.12, 1.0]], np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    v[3], v[7] = vps[0], vps[1]
+    c[3], c[7] = 10.0, 8.0
+    a[3] = a[7] = True
+    hp1, hp2, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(
+        jnp.asarray(v), jnp.asarray(c), jnp.asarray(a))
+    assert np.isfinite(np.asarray(hp1)).all()
+    assert np.isfinite(np.asarray(hp2)).all()
+    want = np.cross(vps[0], vps[1])
+    assert abs(np.dot(want, np.asarray(hp1))) < 1e-4

@@ -174,7 +174,14 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
 
     best = jnp.argmax(score)  # first max: matches strict-improvement loop
 
-    # ---- fallback branches (< 3 usable VPs), raw vps order ----
+    # ---- fallback branches (< 3 usable VPs) ----
+    # The reference indexes its COMPACT vps array (vps[0], vps[1] are the
+    # alive VPs, calc_horizon.py:200-210); in the masked slot representation
+    # the equivalent is the first/second ALIVE slots (raw slots can be dead
+    # zero vectors, whose cross product would NaN the horizon).
+    alive_order = jnp.argsort(~alive, stable=True)
+    v_a0 = vps[alive_order[0]]
+    v_a1 = vps[alive_order[1]]
     e010 = jnp.array([0.0, 1.0, 0.0], vps.dtype)
     hlin_default = _cross(e3, jnp.array([1.0, 0.0, 1.0], vps.dtype))  # y = 0
 
@@ -183,11 +190,11 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
                 best_vps[tri[best]])
 
     def out_2():
-        return (_cross(vps[0], vps[1]), e010, vps[0], vps[1],
+        return (_cross(v_a0, v_a1), e010, v_a0, v_a1,
                 jnp.array([0, 1, 0], best_vps.dtype))
 
     def out_1():
-        return (hlin_default, e010, vps[0], vps[0],
+        return (hlin_default, e010, v_a0, v_a0,
                 jnp.array([0, 0, 0], best_vps.dtype))
 
     def out_0():
