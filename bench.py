@@ -37,6 +37,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from vanishing_points_2017_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from vanishing_points_2017_tpu.models import synth
     from vanishing_points_2017_tpu.pipeline import (Pipeline, PipelineConfig,
                                                     device_pipeline_batch,

@@ -59,6 +59,9 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", args.device)
 
+    from vanishing_points_2017_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from vanishing_points_2017_tpu.data import datasets as dsets
     from vanishing_points_2017_tpu.data.cache import StageCache
     from vanishing_points_2017_tpu.data import io as dio

@@ -64,6 +64,9 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", args.device)
 
+    from vanishing_points_2017_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from vanishing_points_2017_tpu.data import io as dio
     from vanishing_points_2017_tpu.pipeline import Pipeline, PipelineConfig
     from vanishing_points_2017_tpu import weights as wload

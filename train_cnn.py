@@ -48,6 +48,9 @@ def main() -> int:
 
     import jax
 
+    from vanishing_points_2017_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from vanishing_points_2017_tpu import weights as wload
     from vanishing_points_2017_tpu.models import train
 
