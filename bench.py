@@ -65,14 +65,20 @@ def main() -> int:
     lp = jnp.asarray(np.stack(lps))
     m = jnp.asarray(np.stack(masks))
 
+    from vanishing_points_2017_tpu.utils import aot
+
+    t0 = time.time()
+    call = aot.load_or_export(
+        f"pipeline_b{batch}",
+        lambda a, b, c, p, mn: device_pipeline_batch(a, b, c, p, mn, cfg),
+        l, lp, m, pipe.params, pipe.mean)
     def run():
-        out = device_pipeline_batch(l, lp, m, pipe.params, pipe.mean, cfg)
+        out = call(l, lp, m, pipe.params, pipe.mean)
         # NB: jax.block_until_ready does not actually block on the axon
         # platform — force a device->host readback so the timing is honest
         return float(jnp.sum(out["hp1"]))
 
-    t0 = time.time()
-    run()  # compile
+    run()  # first call pays the (cached) XLA compile
     compile_s = time.time() - t0
 
     t0 = time.time()
