@@ -107,3 +107,75 @@ def test_segments_image():
     # row boundary, so each gets half coverage = 127)
     assert img[49:51, 30:70].max() >= 120
     assert img[10, :].max() == 0
+
+
+def test_run_em_single_distribution_key():
+    """The reference returns 'distribution' = the final E-step PDF bundle
+    (vp_localisation.py:442); verify shape/consistency of the compat port."""
+    rng = np.random.default_rng(3)
+    scene = synth.make_scene(rng, lines_per_vp=25, outliers=5)
+    cnn = synth.vp_grid_label(scene.vps)
+    n = scene.lines.shape[0]
+    lpad = np.zeros((256, 3), np.float32)
+    lpad[:n] = scene.lines
+    img = np.asarray(sphere.sphere_image_uint8(
+        jnp.asarray(lpad), jnp.asarray(np.arange(256) < n), size=500))
+    out = compat.run_em_single(scene.lines, scene.segments, cnn, img)
+    p = out["distribution"]
+    assert p is not None
+    m = out["vp"].shape[0]
+    assert p.v.shape == (m,)
+    assert p.lv.shape == (n, m)
+    assert p.vl.shape == (m, n)
+    assert p.l.shape == (n,)
+    assert p.lvsq.shape == (n, m)
+    assert p.angles.shape == (m, 2)
+    assert np.all(p.l >= 1e-12 - 1e-18)  # evidence floor
+    assert np.all((p.vl >= 0) & (p.vl <= 1 + 1e-6))
+    # posterior columns over alive VPs sum to ~1 for well-explained lines
+    col = p.vl.sum(axis=0)
+    assert np.isfinite(col).all()
+
+
+def test_run_em_single_empty_distribution_is_none():
+    out = compat.run_em_single(np.zeros((0, 3)), np.zeros((0, 4)),
+                               np.zeros((20, 20), np.float32),
+                               np.zeros((500, 500), np.float32))
+    assert out["distribution"] is None
+
+
+def test_create_data_dict_single_shape():
+    rng = np.random.default_rng(4)
+    scene = synth.make_scene(rng, lines_per_vp=20, outliers=4)
+    from vanishing_points_2017_tpu.data.datasets import render_scene_image
+    img = render_scene_image(scene, size=320)
+    rgb = np.stack([img] * 3, axis=-1).astype(np.uint8)
+    out = compat.create_data_dict_single(rgb, cnn_input_size=250)
+    assert out["sphere_image"].shape == (250, 250)
+    assert out["sphere_image"].dtype == np.uint8
+    datum = out["lines"]
+    assert datum["lines"].shape[1] == 3
+    assert datum["line_segments"].shape[1] == 4
+    assert datum["image_shape"] == (320, 320)
+    # homogeneous lines pass through both endpoints
+    seg = datum["line_segments"]
+    l = datum["lines"]
+    p1 = np.concatenate([seg[:, 0:2], np.ones((seg.shape[0], 1))], axis=1)
+    np.testing.assert_allclose(np.abs(np.sum(l * p1, axis=1)), 0, atol=1e-9)
+
+
+def test_save_cnn_result_roundtrip(tmp_path):
+    import jax
+    from vanishing_points_2017_tpu.models import cnn as cnn_mod
+    rng = np.random.default_rng(5)
+    scene = synth.make_scene(rng, lines_per_vp=15, outliers=2)
+    datum = {"line_segments": scene.segments}
+    params = cnn_mod.init_params(jax.random.PRNGKey(0), input_size=250)
+    mean = np.zeros((250, 250), np.float32)
+    path = compat.save_cnn_result(params, mean, datum,
+                                  str(tmp_path / "img.jpg"),
+                                  sphere_size=250, n_pad=128)
+    assert path.endswith("img.cnn_result.npz")
+    assert datum["prediction"].shape == (20, 20)
+    back = np.load(path)
+    np.testing.assert_array_equal(back["prediction"], datum["prediction"])

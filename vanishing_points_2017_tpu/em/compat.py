@@ -9,13 +9,51 @@ offers a ``run_em_single``-style convenience entry
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import probability as prob
 from .em import EMConfig, EMResult, expectation_maximisation
 
 
-def em_result_to_dict(res: EMResult) -> dict:
+class PDF(NamedTuple):
+    """The reference's E-step bundle (``probability_functions.py:5``:
+    ``PDF = namedtuple('PDF', 'v lv vl l lvsq angles')``), compact arrays,
+    linear float64 probabilities."""
+
+    v: np.ndarray       # (M,) prior at the VPs
+    lv: np.ndarray      # (N, M) likelihood p(l|v)
+    vl: np.ndarray      # (M, N) posterior p(v|l)
+    l: np.ndarray       # (N,) evidence p(l), floored at 1e-12
+    lvsq: np.ndarray    # (N, M) squared line-VP inconsistency
+    angles: np.ndarray  # (M, 2) VP angles
+
+
+def _final_distribution(res: EMResult, l, lp, lmask, cnn_prediction,
+                        cfg: EMConfig, n: int) -> PDF:
+    """Recompute the E-step at the final VP state — the reference returns
+    the last ``p`` bundle as ``'distribution'`` (``vp_localisation.py:442``).
+    Linearized to float64 on the host (log p(l|v) can exceed float32 range,
+    exactly like the reference's 1/sqrt(2 pi s) factors)."""
+    pdfpar = prob.pdf_params(jnp.asarray(cnn_prediction, jnp.float32))
+    p = prob.calc_probabilities(
+        pdfpar, res.vp, res.alive, l, lp, res.log_sigma, lmask,
+        cfg.distance_measure, cfg.wrap_quirk)
+    alive = np.asarray(res.alive).astype(bool)
+    log_plv = np.asarray(p.log_plv, np.float64)[:n][:, alive]
+    return PDF(
+        v=np.asarray(p.p_v, np.float64)[alive],
+        lv=np.exp(log_plv),
+        vl=np.asarray(p.p_vl, np.float64)[alive][:, :n],
+        l=np.exp(np.asarray(p.log_pl, np.float64))[:n],
+        lvsq=np.asarray(p.lvsq, np.float64)[:n][:, alive],
+        angles=np.asarray(p.angles, np.float64)[alive],
+    )
+
+
+def em_result_to_dict(res: EMResult, distribution: PDF | None = None) -> dict:
     """Masked slots -> the reference's compact result dict.
 
     VP slot indices in ``vp_assoc`` are renumbered to the compact order;
@@ -24,7 +62,8 @@ def em_result_to_dict(res: EMResult) -> dict:
     """
     if not bool(res.valid):
         return {"vp_assoc": None, "vp": None, "counts": None,
-                "count_id": None, "decision_metric": None, "iterations": 0}
+                "count_id": None, "decision_metric": None, "iterations": 0,
+                "distribution": None}
 
     alive = np.asarray(res.alive).astype(bool)
     slots = np.flatnonzero(alive)
@@ -43,6 +82,7 @@ def em_result_to_dict(res: EMResult) -> dict:
         "decision_metric": np.asarray(res.decision_metric)[alive],
         "sigma": np.exp(np.asarray(res.log_sigma))[alive],
         "iterations": int(res.iterations),
+        "distribution": distribution,
     }
 
 
@@ -67,12 +107,70 @@ def run_em_single(lines: np.ndarray, line_segments: np.ndarray,
     l[:n] = lines[:, :3]
     lp[:n] = line_segments[:, :4]
     lmask = np.arange(n_pad) < n
+    lj, lpj, lmj = jnp.asarray(l), jnp.asarray(lp), jnp.asarray(lmask)
     res = expectation_maximisation(
-        jnp.asarray(l), jnp.asarray(lp),
-        jnp.asarray(cnn_prediction, dtype=jnp.float32),
-        jnp.asarray(sphere_image, dtype=jnp.float32),
-        jnp.asarray(lmask), cfg)
-    out = em_result_to_dict(res)
+        lj, lpj, jnp.asarray(cnn_prediction, dtype=jnp.float32),
+        jnp.asarray(sphere_image, dtype=jnp.float32), lmj, cfg)
+    dist = (_final_distribution(res, lj, lpj, lmj, cnn_prediction, cfg, n)
+            if bool(res.valid) else None)
+    out = em_result_to_dict(res, distribution=dist)
     if out["vp_assoc"] is not None:
         out["vp_assoc"] = out["vp_assoc"][:n]
     return out
+
+
+def create_data_dict_single(image_rgb: np.ndarray,
+                            cnn_input_size: int = 250,
+                            n_pad: int = 512) -> dict:
+    """In-memory single-image ingest (``create_data_dict_single``,
+    ``evaluation.py:189-224`` of the reference): grayscale -> LSD ->
+    homogeneous lines -> sphere image, returned as the reference's
+    ``{'lines': datum, 'sphere_image': image}`` shape (no disk I/O)."""
+    from ..data import io as dio
+    from ..ops import sphere as sphere_mod
+    from ..pipeline import pad_lines
+
+    gray = dio.rgb2gray(image_rgb)
+    datum = {"image_shape": gray.shape, "image": image_rgb}
+    det = dio.detect_lsd_lines(gray)
+    segments = det["segments"]
+
+    lines = np.zeros((segments.shape[0], 3))
+    if segments.shape[0]:
+        p1 = np.concatenate([segments[:, 0:2],
+                             np.ones((segments.shape[0], 1))], axis=1)
+        p2 = np.concatenate([segments[:, 2:4],
+                             np.ones((segments.shape[0], 1))], axis=1)
+        lines = np.cross(p1, p2)
+    datum["line_segments"] = segments
+    datum["lines"] = lines
+
+    l, _, lmask = pad_lines(segments, n_pad)
+    sphere_image = np.asarray(sphere_mod.sphere_image_uint8(
+        jnp.asarray(l), jnp.asarray(lmask), size=cnn_input_size))
+    return {"lines": datum, "sphere_image": sphere_image}
+
+
+def save_cnn_result(params, mean, datum: dict, file_for_basename: str,
+                    sphere_size: int = 500, n_pad: int = 512) -> str:
+    """CNN forward on a datum's sphere image + persist
+    (``save_cnn_result``, ``evaluation.py:41-52`` of the reference; npz
+    instead of pickle). Returns the written path."""
+    import os
+
+    from ..models import cnn as cnn_mod
+    from ..ops import sphere as sphere_mod
+    from ..pipeline import pad_lines
+
+    l, _, lmask = pad_lines(np.asarray(datum["line_segments"]), n_pad)
+    img = sphere_mod.sphere_image_uint8(jnp.asarray(l), jnp.asarray(lmask),
+                                        size=sphere_size)
+    x = cnn_mod.preprocess(img[None], jnp.asarray(mean, jnp.float32))
+    prediction = np.asarray(cnn_mod.forward(params, x)[0])
+    datum["prediction"] = prediction
+
+    basename = os.path.splitext(file_for_basename)[0]
+    out_path = f"{basename}.cnn_result.npz"
+    np.savez(out_path, prediction=prediction,
+             line_segments=np.asarray(datum["line_segments"]))
+    return out_path

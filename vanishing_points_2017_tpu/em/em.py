@@ -203,7 +203,10 @@ def _merge_vps(v: jnp.ndarray, log_s: jnp.ndarray, alive: jnp.ndarray,
         mean_lvsq = 0.5 * (p.lvsq[:, j] + p.lvsq[:, k])
         s_k = _s_update_log(mean_lvsq, pair_pvl)
 
-        accept = vp_ok & ~(s_k > jnp.log(MERGE_MAX_STDD)) & ~jnp.isnan(s_k)
+        # NaN s_k ACCEPTS the merge: the reference's `s[k] > max_stdd` is
+        # False for NaN (vp_localisation.py:668) so the merge proceeds; the
+        # NaN sigma is removed by the next M-step's NaN check, like there.
+        accept = vp_ok & ~(s_k > jnp.log(MERGE_MAX_STDD))
         # quirk: s[k] is overwritten whenever a merge is attempted
         log_s2 = log_s.at[k].set(s_k)
         v2 = jnp.where((jnp.arange(ms) == k)[:, None] & accept & mergeable,

@@ -76,7 +76,11 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
     num_alive = jnp.sum(alive)
     num_best = jnp.minimum(maxbest, num_alive)
 
-    order = jnp.argsort(-counts)  # descending; dead (-1) last
+    # Descending, ties highest-slot-first: the reference sorts with
+    # np.argsort(counts)[::-1] (calc_horizon.py:34), whose reversal of a
+    # stable ascending sort breaks count ties toward the HIGHER index.
+    # Dead slots (count -1) still sort last.
+    order = jnp.argsort(counts, stable=True)[::-1]
     kbest = min(maxbest, m_slots)
     best_vps = order[:kbest]  # (kbest,)
     bv = vps[best_vps]  # (kbest, 3)

@@ -27,10 +27,22 @@ _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+def _build(native: bool = True) -> None:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    if native:
+        cmd.insert(2, "-march=native")
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.lsd_detect.restype = ctypes.c_int
+    lib.lsd_detect.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.lsd_free.restype = None
+    lib.lsd_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    return lib
 
 
 def _load() -> ctypes.CDLL:
@@ -41,14 +53,13 @@ def _load() -> ctypes.CDLL:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_SO)
-        lib.lsd_detect.restype = ctypes.c_int
-        lib.lsd_detect.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
-            ctypes.POINTER(ctypes.c_int)]
-        lib.lsd_free.restype = None
-        lib.lsd_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except OSError:
+            # a stale or foreign-ISA binary (e.g. copied between machines,
+            # built with -march=native elsewhere): rebuild conservatively
+            _build(native=False)
+            lib = _bind(ctypes.CDLL(_SO))
         _lib = lib
         return lib
 

@@ -19,11 +19,15 @@ from __future__ import annotations
 import numpy as np
 
 
+# np.trapezoid is NumPy >= 2.0; fall back to np.trapz on 1.x installs.
+_np_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
+
 def _trapezoid(x: np.ndarray, y: np.ndarray) -> float:
     """Trapezoid rule (sklearn.metrics.auc equivalent, without the dep)."""
     if x.shape[0] < 2:
         return 0.0
-    return float(np.trapezoid(y, x))
+    return float(_np_trapezoid(y, x))
 
 
 def calc_auc(error_array: np.ndarray, cutoff: float = 0.25):

@@ -1,25 +1,35 @@
 """On-device line-segment detection (XLA, static shapes).
 
 The reference's only host-side hot stage is LSD (C/Cython there, C++ in
-``lsd/`` here). Region growing is inherently sequential, so this module
-implements a different, TPU-friendly detector for the fully fused path:
+``lsd/`` here; call-site contract ``evaluation.py:227-251`` of
+fkluger/vanishing_points_2017). This module is the TPU-native equivalent for
+the fully fused path, built around the same primitives as von Gioi's LSD but
+reformulated as data-parallel passes with static shapes:
 
-1. 2x2 gradient + level-line angles (exactly LSD's operators).
-2. Threshold at rho = quant / sin(tol) like LSD.
-3. Orientation-binned Hough accumulation: each active pixel votes into a
-   (theta_bin, rho_bin) cell with its gradient magnitude; per cell the
-   weighted centroid, refined orientation (doubled-angle mean), and the
-   min/max projection along the line direction are accumulated with
-   scatter ops.
-4. Cells with enough mass and fill ratio become segments: endpoints =
-   centroid +- the projection extremes along the refined direction.
+1. 2x2 gradient + DIRECTED level-line angles (exactly LSD's operators and
+   its ``rho = quant / sin(tol)`` activation threshold).
+2. Connected components over the pixel grid: two 8-neighbours join when both
+   are active and their level-line directions agree within ``tol`` (LSD's
+   region-growing predicate, applied pairwise). Labels converge by
+   min-label propagation accelerated with pointer jumping — O(log) rounds
+   instead of a sequential region grow.
+3. Component selection: per-component gradient mass via one sort + segmented
+   cumsum (no scatters), top-k components become segment candidates.
+4. Exact per-component moments via chunked membership matmuls (MXU work):
+   centroid + covariance give the principal direction (LSD's region2rect),
+   min/max projections along it give the endpoints — the true extremal
+   span, not a variance estimate (fixes the w^2-span shrinkage of the
+   earlier Hough formulation).
+5. Validation: an NFA gate in the spirit of LSD's binomial test — the
+   Hoeffding bound on log10 B(area, count, p) with p = tol/pi and the
+   (HW)^(5/2) test count — plus minimum count/length gates.
 
-vs LSD: no connected-component analysis, so collinear segments separated by
-a large gap can merge (the fill-ratio gate suppresses the worst cases), and
-no NFA validation (the mass threshold plays that role). The payoff: the
-detector is pure XLA with static output shape (max_segments, 4) + mask, so
-image -> segments -> sphere -> CNN -> EM -> horizon compiles into ONE
-device program with no host round-trip (``pipeline.device_pipeline_full``).
+vs LSD: no iterative rectangle refinement (rect_improve) and curves are
+rejected (wide components fail the NFA/width gates) instead of being
+approximated by many short segments. The payoff: the detector is pure XLA
+with static output shape (max_segments, 4) + mask, so image -> segments ->
+sphere -> CNN -> EM -> horizon compiles into ONE device program with no
+host round-trip (``pipeline.device_pipeline_full``).
 
 Outputs use the same normalized frame as ``data/io.normalize_segments``.
 """
@@ -27,127 +37,135 @@ Outputs use the same normalized frame as ``data/io.normalize_segments``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 
 QUANT = 2.0
 TOL_DEG = 22.5
-RHO_BIN_PX = 2.0
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+_NEIGHBOURS = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+               (0, 1), (1, -1), (1, 0), (1, 1))
 
 
-def _refine_pass(seg_px: jnp.ndarray, mask: jnp.ndarray, xs, ys, mag, th,
-                 active, r_tol: float = 2.0, chunk: int = 16384):
-    """One parallel refit of every segment against nearby compatible pixels.
+def _shift(a: jnp.ndarray, dy: int, dx: int, fill):
+    """out[y, x] = a[y + dy, x + dx], border-filled."""
+    h, w = a.shape
+    p = jnp.pad(a, ((1, 1), (1, 1)), constant_values=fill)
+    return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
 
-    For each segment, pixels within r_tol of its support line, inside its
-    [t1, t2] extent (padded by r_tol), with compatible undirected gradient
-    orientation, are gathered into weighted first/second moments via one
-    (S, P) x (P, C) matmul per pixel chunk (MXU work, no scatters); the
-    segment is refit by weighted PCA with the w^2-span rule.
+
+def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian with edge-replicated borders.
+
+    LSD smooths before the gradient (scale 0.8, sigma 0.6/0.8) to remove
+    staircase aliasing, which otherwise makes the per-pixel level-line angle
+    alternate between the two +-tol extremes and fragments regions. Blur
+    without the downsample keeps the pixel grid (and all static shapes).
     """
-    s_count = seg_px.shape[0]
-    p1 = seg_px[:, 0:2]
-    p2 = seg_px[:, 2:4]
-    d = p2 - p1
-    seg_len = jnp.linalg.norm(d, axis=-1)
-    dn = d / jnp.maximum(seg_len, 1e-6)[:, None]  # (S, 2)
-    nx, ny = -dn[:, 1], dn[:, 0]
-    c = 0.5 * (p1 + p2)
-    rho0 = c[:, 0] * nx + c[:, 1] * ny
-    t1 = p1[:, 0] * dn[:, 0] + p1[:, 1] * dn[:, 1]
-    t2 = p2[:, 0] * dn[:, 0] + p2[:, 1] * dn[:, 1]
-    cos2s = dn[:, 0] * dn[:, 0] - dn[:, 1] * dn[:, 1]  # cos(2 theta_seg)
-    sin2s = 2 * dn[:, 0] * dn[:, 1]
-
-    npix = xs.shape[0]
-    pad = (-npix) % chunk
-    def padv(v):
-        return jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]) if pad else v
-    xs, ys, mag, th = padv(xs), padv(ys), padv(mag), padv(th)
-    active = jnp.concatenate([active, jnp.zeros((pad,), bool)]) if pad else active
-    n_chunks = xs.shape[0] // chunk
-
-    cos2p_all = jnp.cos(2 * th)
-    sin2p_all = jnp.sin(2 * th)
-
-    def body(carry, idx):
-        moments = carry
-        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk)
-        x, y, w0, act = sl(xs), sl(ys), sl(mag), sl(active)
-        c2, s2 = sl(cos2p_all), sl(sin2p_all)
-        # (S, P) gates
-        rho_p = nx[:, None] * x[None, :] + ny[:, None] * y[None, :]
-        t_p = dn[:, 0][:, None] * x[None, :] + dn[:, 1][:, None] * y[None, :]
-        near = jnp.abs(rho_p - rho0[:, None]) <= r_tol
-        inside = (t_p >= (t1 - r_tol)[:, None]) & (t_p <= (t2 + r_tol)[:, None])
-        ang_ok = (cos2s[:, None] * c2[None, :]
-                  + sin2s[:, None] * s2[None, :]) > 0.0
-        wmat = jnp.where(near & inside & ang_ok & act[None, :],
-                         w0[None, :], 0.0)  # (S, P)
-        base = wmat @ jnp.stack(
-            [jnp.ones_like(x), x, y, x * x, x * y, y * y], axis=-1)  # (S, 6)
-        # w^2 span stats (plain-w was measured slightly worse downstream:
-        # fused AUC 0.456 vs 0.483 — the length-shrinkage fix needs the
-        # round-2 connected-components rework, see TODO.md)
-        w2mat = wmat * wmat
-        t_stats = jnp.stack([
-            jnp.sum(w2mat, axis=1),
-            jnp.sum(w2mat * t_p, axis=1),
-            jnp.sum(w2mat * t_p * t_p, axis=1),
-        ], axis=-1)  # (S, 3)
-        return moments + jnp.concatenate([base, t_stats], axis=-1), None
-
-    m0 = jnp.zeros((s_count, 9), jnp.float32)
-    moments, _ = jax.lax.scan(body, m0, jnp.arange(n_chunks))
-    s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_w2, s_wt, s_wtt = [
-        moments[:, i] for i in range(9)]
-
-    sw = jnp.maximum(s_w, 1e-9)
-    cx, cy = s_wx / sw, s_wy / sw
-    vxx = s_wxx / sw - cx * cx
-    vxy = s_wxy / sw - cx * cy
-    vyy = s_wyy / sw - cy * cy
-    tr = vxx + vyy
-    det = vxx * vyy - vxy * vxy
-    lam = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-    ex = jnp.where(jnp.abs(vxy) > 1e-12, vxy, lam - vyy)
-    ey = jnp.where(jnp.abs(vxy) > 1e-12, lam - vxx, jnp.zeros_like(lam))
-    en = jnp.sqrt(ex * ex + ey * ey)
-    ok = (en > 1e-9) & (s_w > 0) & mask
-    ddx = jnp.where(ok, ex / jnp.where(ok, en, 1.0), dn[:, 0])
-    ddy = jnp.where(ok, ey / jnp.where(ok, en, 1.0), dn[:, 1])
-
-    sw2 = jnp.maximum(s_w2, 1e-9)
-    t_mean = s_wt / sw2
-    t_var = jnp.maximum(s_wtt / sw2 - t_mean * t_mean, 0.0)
-    span = jnp.sqrt(12.0 * t_var)
-    # NB: t here was measured along the OLD direction; for the small angle
-    # corrections of a refinement pass the difference is second order
-    t_c = cx * ddx + cy * ddy
-    mx = cx + (t_mean - t_c) * ddx
-    my = cy + (t_mean - t_c) * ddy
-    new_seg = jnp.stack([mx - 0.5 * span * ddx, my - 0.5 * span * ddy,
-                         mx + 0.5 * span * ddx, my + 0.5 * span * ddy],
-                        axis=-1)
-    keep_new = ok & (span > 1.0)
-    return jnp.where(keep_new[:, None], new_seg, seg_px), mask
+    r = max(1, int(3.0 * sigma + 0.5))
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+    p = jnp.pad(img, ((r, r), (r, r)), mode="edge")[None, None]
+    out = jax.lax.conv_general_dilated(p, k[None, None, None, :], (1, 1),
+                                       padding="VALID")
+    out = jax.lax.conv_general_dilated(out, k[None, None, :, None], (1, 1),
+                                       padding="VALID")
+    return out[0, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_segments", "theta_bins",
-                                    "min_count", "min_len_px",
-                                    "refine_iters"))
+def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
+                          uy: jnp.ndarray, cos_tol: float,
+                          rounds: int) -> jnp.ndarray:
+    """Min-label connected components on the masked orientation graph.
+
+    active: (H, W) bool; (ux, uy): unit level-line direction per pixel.
+    Edge p~q exists when both are active and dot(dir_p, dir_q) > cos_tol
+    (directed, like LSD: the two sides of a dark stroke have opposite
+    gradients and stay separate components).
+
+    Each round: one neighbour-min propagation + two pointer jumps
+    (``lab = lab[lab]``). Labels only decrease and lab[i] <= i is invariant,
+    so the jumps always shorten chains; ``rounds ~ log2(HW)`` suffices.
+    Returns (H*W,) int32 root labels (inactive pixels keep their own index).
+    """
+    h, w = active.shape
+    lab0 = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+
+    masks = []
+    for dy, dx in _NEIGHBOURS:
+        dot = (ux * _shift(ux, dy, dx, 0.0)
+               + uy * _shift(uy, dy, dx, 0.0))
+        masks.append(active & _shift(active, dy, dx, False)
+                     & (dot > cos_tol))
+
+    def body(_, lab):
+        best = lab
+        for (dy, dx), m in zip(_NEIGHBOURS, masks):
+            nb = _shift(lab, dy, dx, _I32_MAX)
+            best = jnp.minimum(best, jnp.where(m, nb, _I32_MAX))
+        flat = best.reshape(-1)
+        flat = flat[flat]
+        flat = flat[flat]
+        return flat.reshape(h, w)
+
+    lab = jax.lax.fori_loop(0, rounds, body, lab0)
+    return lab.reshape(-1)
+
+
+def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
+                     max_segments: int):
+    """Top-k component roots by total gradient mass, without scatters.
+
+    Sort pixels by root label; a segmented cumsum of the (single-channel)
+    mass gives each run's total at its last position; top-k over those.
+    Returns (root_label (S,), run_mass (S,), slot_valid (S,)).
+    """
+    n = root.shape[0]
+    order = jnp.argsort(root)
+    rs = root[order]
+    ws = wgt[order]
+
+    cw = jnp.cumsum(ws)
+    nxt = jnp.concatenate([rs[1:], jnp.full((1,), -1, rs.dtype)])
+    is_end = rs != nxt
+    prv = jnp.concatenate([jnp.full((1,), -1, rs.dtype), rs[:-1]])
+    is_start = rs != prv
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    before = jnp.where(start_idx > 0, cw[jnp.maximum(start_idx - 1, 0)], 0.0)
+    run_mass = cw - before  # exact only at run ends, which is all we read
+
+    score = jnp.where(is_end, run_mass, -1.0)
+    top, pos = jax.lax.top_k(score, max_segments)
+    return rs[pos], top, top > 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("max_segments", "tol_deg",
+                                             "min_count", "min_len_px",
+                                             "ccl_rounds", "chunk",
+                                             "blur_sigma", "pair_tol_factor"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
-                           theta_bins: int = 24, min_count: int = 10,
+                           tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 10.0,
-                           refine_iters: int = 2):
+                           ccl_rounds: int | None = None,
+                           chunk: int = 8192,
+                           blur_sigma: float = 1.0,
+                           pair_tol_factor: float = 1.0):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
+    if blur_sigma > 0:
+        img = _gaussian_blur(img, blur_sigma)
+    hi, wi = h - 1, w - 1  # inner 2x2-gradient grid
+    npix = hi * wi
 
     # ---- 2x2 gradient (LSD's operators) on the (H-1, W-1) inner grid
     com1 = img[1:, 1:] - img[:-1, :-1]
@@ -155,116 +173,125 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     gx = 0.5 * (com1 + com2)
     gy = 0.5 * (com1 - com2)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    # level-line (edge) direction, undirected in [0, pi)
-    theta = jnp.arctan2(gx, -gy)
-    theta = jnp.where(theta < 0, theta + jnp.pi, theta)
-    theta = jnp.where(theta >= jnp.pi, theta - jnp.pi, theta)
+    # directed level-line direction = gradient rotated 90 degrees
+    tol = math.radians(tol_deg)
+    rho_thresh = QUANT / math.sin(tol)
+    active = mag > rho_thresh
+    inv = jnp.where(mag > 0, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
+    # unit level-line direction, directed ((ux, uy) = (gx, -gy)/|g|, an
+    # orthogonal transform of (cos, sin) of LSD's atan2(gx, -gy) angle —
+    # dot products, hence angle differences, are preserved)
+    ux = gx * inv
+    uy = -gy * inv
 
-    # adaptive magnitude threshold: LSD's quantization bound, raised to the
-    # top-quantile level so sensor noise cannot flood the accumulator (LSD
-    # relies on region growing + NFA to reject noise; this detector has no
-    # connectivity, so it gates harder at the source)
-    rho_thresh = QUANT / jnp.sin(jnp.deg2rad(TOL_DEG))
-    q = jnp.quantile(mag.reshape(-1), 0.92)
-    active = mag > jnp.maximum(rho_thresh, q)
-    wgt = jnp.where(active, mag, 0.0).reshape(-1)
+    if ccl_rounds is None:
+        ccl_rounds = max(8, math.ceil(math.log2(npix)) + 1)
+    # LSD admits pixels within tol of the REGION angle, so two member
+    # pixels can differ by up to 2*tol (triangle inequality); the pairwise
+    # predicate defaults to 2*tol or residual staircase wobble (which
+    # alternates between the two +-tol extremes) fragments regions.
+    root = _connected_components(
+        active, ux, uy, math.cos(pair_tol_factor * tol), ccl_rounds)
 
-    ys, xs = jnp.meshgrid(jnp.arange(h - 1, dtype=jnp.float32),
-                          jnp.arange(w - 1, dtype=jnp.float32), indexing="ij")
-    # pixel centre of the 2x2 support
-    xs = (xs + 0.5).reshape(-1)
-    ys = (ys + 0.5).reshape(-1)
-    th = theta.reshape(-1)
+    # ---- pixel tables in the NORMALIZED frame (centre origin, +y up,
+    # long axis [-1, 1]) so the moment sums stay O(1)-scaled for float32
+    s = max(h, w) / 2.0
+    ys_i, xs_i = jnp.meshgrid(jnp.arange(hi, dtype=jnp.float32),
+                              jnp.arange(wi, dtype=jnp.float32),
+                              indexing="ij")
+    xn = ((xs_i + 0.5) - w / 2.0) / s   # 2x2 support centre
+    yn = -((ys_i + 0.5) - h / 2.0) / s
+    xn = xn.reshape(-1)
+    yn = yn.reshape(-1)
+    act = active.reshape(-1)
+    wgt = jnp.where(act, mag.reshape(-1) / 255.0, 0.0)
 
-    tbin = jnp.clip((th / jnp.pi * theta_bins).astype(jnp.int32),
-                    0, theta_bins - 1)
-    # bin-centre direction for consistent rho
-    bin_theta = (tbin.astype(jnp.float32) + 0.5) * (jnp.pi / theta_bins)
-    dx, dy = jnp.cos(bin_theta), jnp.sin(bin_theta)
-    nx, ny = -dy, dx
-    diag = (h * h + w * w) ** 0.5
-    rho = xs * nx + ys * ny  # in [-diag, diag]
-    rbin = jnp.clip(((rho + diag) / RHO_BIN_PX).astype(jnp.int32), 0,
-                    int(2 * diag / RHO_BIN_PX))
-    n_rho = int(2 * diag / RHO_BIN_PX) + 1
-    cell = tbin * n_rho + rbin
-    n_cells = theta_bins * n_rho
+    root_label, _, slot_valid = _run_mass_select(root, wgt, max_segments)
 
-    t = xs * dx + ys * dy  # projection along the line direction
+    # ---- pass A: exact component moments via chunked membership matmuls
+    pad = (-npix) % chunk
+    def padv(v, fill=0):
+        return (jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)])
+                if pad else v)
+    xs_p, ys_p, w_p = padv(xn), padv(yn), padv(wgt)
+    root_p = padv(root, fill=-1)
+    n_chunks = xs_p.shape[0] // chunk
 
-    # one multi-channel scatter-add (separate scatters are much slower).
-    # The along-line span statistics are weighted by w^2: strong edge pixels
-    # (mag ~60+) dominate residual noise votes (mag ~5) quadratically, which
-    # keeps the variance-based span robust without a second trimming pass.
-    w2 = wgt * wgt
-    payload = jnp.stack([
-        wgt, wgt * xs, wgt * ys, wgt * xs * xs, wgt * xs * ys,
-        wgt * ys * ys, active.reshape(-1).astype(jnp.float32),
-        w2, w2 * t, w2 * t * t,
-    ], axis=-1)  # (Npix, 10)
-    acc = jnp.zeros((n_cells, 10), jnp.float32).at[cell].add(payload)
-    (s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_cnt, s_w2, s_wt,
-     s_wtt) = [acc[:, i] for i in range(10)]
+    def pass_a(m, idx):
+        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk)
+        x, y, w0, r = sl(xs_p), sl(ys_p), sl(w_p), sl(root_p)
+        member = (r[None, :] == root_label[:, None])  # (S, C)
+        wmat = jnp.where(member, w0[None, :], 0.0)
+        basis = jnp.stack([jnp.ones_like(x), x, y, x * x, x * y, y * y],
+                          axis=-1)
+        cnt = jnp.sum(member & (w0 > 0)[None, :], axis=1)  # raw pixel count
+        return m + jnp.concatenate(
+            [wmat @ basis, cnt[:, None].astype(jnp.float32)], axis=-1), None
+
+    m0 = jnp.zeros((max_segments, 7), jnp.float32)
+    moments, _ = jax.lax.scan(pass_a, m0, jnp.arange(n_chunks))
+    s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_cnt = [
+        moments[:, i] for i in range(7)]
 
     sw = jnp.maximum(s_w, 1e-9)
-    cx = s_wx / sw
-    cy = s_wy / sw
-    # weighted PCA: the principal axis of the cell's pixel mass is the
-    # segment direction (more accurate than the bin centre)
-    vxx = s_wxx / sw - cx * cx
+    cx, cy = s_wx / sw, s_wy / sw
+    vxx = jnp.maximum(s_wxx / sw - cx * cx, 0.0)
     vxy = s_wxy / sw - cx * cy
-    vyy = s_wyy / sw - cy * cy
-    # leading eigenvector of [[vxx, vxy], [vxy, vyy]]
+    vyy = jnp.maximum(s_wyy / sw - cy * cy, 0.0)
+    # principal axis of the weighted covariance (LSD's region direction)
     tr = vxx + vyy
     det = vxx * vyy - vxy * vxy
-    lam = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-    ex = jnp.where(jnp.abs(vxy) > 1e-12, vxy, lam - vyy)
-    ey = jnp.where(jnp.abs(vxy) > 1e-12, lam - vxx, jnp.zeros_like(lam))
-    # degenerate (isotropic) cells fall back to the bin direction
+    lam_max = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    lam_min = jnp.maximum(tr - lam_max, 0.0)
+    ex = jnp.where(jnp.abs(vxy) > 1e-16, vxy, lam_max - vyy)
+    ey = jnp.where(jnp.abs(vxy) > 1e-16, lam_max - vxx, jnp.zeros_like(tr))
     en = jnp.sqrt(ex * ex + ey * ey)
-    bdx = jnp.cos((jnp.arange(n_cells) // n_rho + 0.5) * (jnp.pi / theta_bins))
-    bdy = jnp.sin((jnp.arange(n_cells) // n_rho + 0.5) * (jnp.pi / theta_bins))
-    ok_e = en > 1e-9
-    ddx = jnp.where(ok_e, ex / jnp.where(ok_e, en, 1.0), bdx)
-    ddy = jnp.where(ok_e, ey / jnp.where(ok_e, en, 1.0), bdy)
+    ok_e = en > 1e-12
+    ddx = jnp.where(ok_e, ex / jnp.where(ok_e, en, 1.0), 1.0)
+    ddy = jnp.where(ok_e, ey / jnp.where(ok_e, en, 1.0), 0.0)
 
-    # segment extent from the weighted variance of the along-line projection
-    # (a uniform segment of length L has sigma = L / sqrt(12)); robust to
-    # stray same-band pixels, unlike a min/max span
-    sw2 = jnp.maximum(s_w2, 1e-9)
-    t_mean = s_wt / sw2
-    t_var = jnp.maximum(s_wtt / sw2 - t_mean * t_mean, 0.0)
-    span = jnp.sqrt(12.0 * t_var)
-    fill = s_cnt / jnp.maximum(span, 1.0)
-    valid = (s_cnt >= min_count) & (span >= min_len_px) & (fill >= 0.5)
+    # ---- pass B: extremal projections along the principal axis -> endpoints
+    def pass_b(carry, idx):
+        tmin, tmax = carry
+        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk)
+        x, y, w0, r = sl(xs_p), sl(ys_p), sl(w_p), sl(root_p)
+        member = (r[None, :] == root_label[:, None]) & (w0 > 0)[None, :]
+        t = ddx[:, None] * x[None, :] + ddy[:, None] * y[None, :]
+        tmin = jnp.minimum(tmin, jnp.min(
+            jnp.where(member, t, jnp.inf), axis=1))
+        tmax = jnp.maximum(tmax, jnp.max(
+            jnp.where(member, t, -jnp.inf), axis=1))
+        return (tmin, tmax), None
 
-    # centre the segment at the along-line mean, not the raw centroid
+    (tmin, tmax), _ = jax.lax.scan(
+        pass_b, (jnp.full((max_segments,), jnp.inf),
+                 jnp.full((max_segments,), -jnp.inf)),
+        jnp.arange(n_chunks))
+
+    span = jnp.maximum(tmax - tmin, 0.0)           # normalized units
+    span_px = span * s
+    width_px = jnp.sqrt(12.0 * lam_min) * s        # rectangle thickness
+
+    # ---- NFA-style validation (Hoeffding bound on LSD's binomial test)
+    p_align = tol_deg / 180.0
+    area = span_px * jnp.maximum(width_px, 1.0)
+    dens = jnp.clip(s_cnt / jnp.maximum(area, 1.0), 1e-6, 1.0 - 1e-6)
+    kl = (dens * jnp.log(dens / p_align)
+          + (1.0 - dens) * jnp.log((1.0 - dens) / (1.0 - p_align)))
+    log10_nfa = 2.5 * math.log10(npix) - area * kl / math.log(10.0)
+    meaningful = (dens > p_align) & (log10_nfa < 0.0)
+
+    valid = (slot_valid & jnp.isfinite(span) & meaningful
+             & (s_cnt >= min_count) & (span_px >= min_len_px))
+
     t_c = cx * ddx + cy * ddy
-    mx = cx + (t_mean - t_c) * ddx
-    my = cy + (t_mean - t_c) * ddy
-    p1x = mx - 0.5 * span * ddx
-    p1y = my - 0.5 * span * ddy
-    p2x = mx + 0.5 * span * ddx
-    p2y = my + 0.5 * span * ddy
+    p1x = cx + (tmin - t_c) * ddx
+    p1y = cy + (tmin - t_c) * ddy
+    p2x = cx + (tmax - t_c) * ddx
+    p2y = cy + (tmax - t_c) * ddy
+    seg = jnp.stack([p1x, p1y, p2x, p2y], axis=-1)
+    seg = jnp.where(valid[:, None], seg, 0.0)
 
-    score = jnp.where(valid, s_w, -1.0)
-    top, idx = jax.lax.top_k(score, max_segments)
-    mask = top > 0
-    seg_px = jnp.stack([p1x[idx], p1y[idx], p2x[idx], p2y[idx]], axis=-1)
-    seg_px = jnp.where(mask[:, None], seg_px, 0.0)
-
-    # refinement: refit each segment against the raw pixels near its
-    # support line (repairs the coarse Hough-cell geometry)
-    for _ in range(refine_iters):
-        seg_px, mask = _refine_pass(seg_px, mask, xs, ys, wgt, th,
-                                    active.reshape(-1))
-
-    # normalized frame: centre origin, +y up, long axis to [-1, 1]
-    s = max(h, w) / 2.0
-    seg = jnp.stack([
-        (seg_px[:, 0] - w / 2.0) / s,
-        -(seg_px[:, 1] - h / 2.0) / s,
-        (seg_px[:, 2] - w / 2.0) / s,
-        -(seg_px[:, 3] - h / 2.0) / s,
-    ], axis=-1)
-    return seg, mask
+    # re-rank so valid segments occupy the leading mask slots
+    order = jnp.argsort(~valid, stable=True)
+    return seg[order], valid[order]
