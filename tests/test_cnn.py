@@ -1,3 +1,4 @@
+import pytest
 import io
 import struct
 
@@ -52,6 +53,7 @@ def test_grouped_conv_halves_input_channels():
     assert params["fc6"]["w"].shape == (cnn.FC6_IN, 4096)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     state = train.init_state(jax.random.PRNGKey(2), input_size=250)
     rng_np = np.random.default_rng(3)
@@ -142,3 +144,81 @@ def test_mean_binaryproto(tmp_path):
     path.write_bytes(_blob(mean))
     got = caffe_import.read_mean_binaryproto(str(path))
     np.testing.assert_allclose(got, mean[0, 0], rtol=1e-6)
+
+
+# ---- exporter round-trip + stored-activation drop-in parity ----
+
+def _export_import_case(tmp_path, legacy):
+    from vanishing_points_2017_tpu.models import caffe_export
+
+    params = cnn.init_params(jax.random.PRNGKey(3), input_size=120)
+    path = str(tmp_path / ("w_v1.caffemodel" if legacy else "w.caffemodel"))
+    caffe_export.params_to_caffemodel(
+        jax.tree.map(np.asarray, params), path, legacy=legacy)
+    got = caffe_import.caffemodel_to_params(path)
+    for layer, d in params.items():
+        for k in d:
+            np.testing.assert_allclose(np.asarray(got[layer][k]),
+                                       np.asarray(params[layer][k]),
+                                       rtol=1e-6, err_msg=f"{layer}/{k}")
+
+
+def test_caffemodel_roundtrip_modern_framing(tmp_path):
+    """Modern LayerParameter framing incl. type/bottom/top fields the
+    importer must skip (like a real Caffe-written artifact)."""
+    _export_import_case(tmp_path, legacy=False)
+
+
+def test_caffemodel_roundtrip_v1_framing(tmp_path):
+    """Legacy V1LayerParameter framing (field 2, legacy blob dims) like
+    pre-2014 Caffe snapshots — the 2017 artifact's likely format."""
+    _export_import_case(tmp_path, legacy=True)
+
+
+def test_caffe_dropin_activation_parity(tmp_path):
+    """The full drop-in path of the reference's artifacts
+    (``--weights w.caffemodel --mean mean.binaryproto``): export golden
+    activations, reload through the Caffe path, forward must match."""
+    from vanishing_points_2017_tpu.models import caffe_export
+    from vanishing_points_2017_tpu import weights as wload
+
+    params = cnn.init_params(jax.random.PRNGKey(4), input_size=120)
+    rng = np.random.default_rng(0)
+    mean = rng.uniform(0, 30, size=(120, 120)).astype(np.float32)
+    img = rng.integers(0, 255, size=(1, 120, 120)).astype(np.uint8)
+    golden = np.asarray(cnn.forward(params, cnn.preprocess(
+        jnp.asarray(img), jnp.asarray(mean))))
+
+    wpath = str(tmp_path / "weights.caffemodel")
+    mpath = str(tmp_path / "mean.binaryproto")
+    caffe_export.params_to_caffemodel(jax.tree.map(np.asarray, params),
+                                      wpath, legacy=True)
+    caffe_export.mean_to_binaryproto(mean, mpath)
+
+    params2, mean2 = wload.load_params_and_mean(wpath, mpath, warn=False)
+    out = np.asarray(cnn.forward(params2, cnn.preprocess(
+        jnp.asarray(img), jnp.asarray(mean2))))
+    np.testing.assert_allclose(out, golden, atol=1e-6)
+
+
+def test_real_caffemodel_golden_if_present():
+    """Drop-in slot for the ORIGINAL 2017 artifact: place
+    assets/caffe/weights.caffemodel + assets/caffe/golden.npz (keys
+    'sphere_image' uint8 (500,500), 'mean' (500,500), 'prediction'
+    (20,20) from a pycaffe forward) and this test validates CNN-forward
+    parity against the stored activations."""
+    import os
+
+    from vanishing_points_2017_tpu import weights as wload
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wpath = os.path.join(here, "assets", "caffe", "weights.caffemodel")
+    gpath = os.path.join(here, "assets", "caffe", "golden.npz")
+    if not (os.path.isfile(wpath) and os.path.isfile(gpath)):
+        pytest.skip("original caffemodel artifact not available")
+    golden = np.load(gpath)
+    params, _ = wload.load_params_and_mean(wpath, None, warn=False)
+    x = cnn.preprocess(jnp.asarray(golden["sphere_image"][None]),
+                       jnp.asarray(golden["mean"]))
+    out = np.asarray(cnn.forward(params, x))[0]
+    np.testing.assert_allclose(out, golden["prediction"], atol=1e-4)

@@ -1,5 +1,6 @@
 """Reference-contract compatibility layer + parity helpers."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ def test_calc_vp_line_triangles():
     np.testing.assert_allclose(out[0], -1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_em_single_compact_contract():
     rng = np.random.default_rng(1)
     scene = synth.make_scene(rng, lines_per_vp=30, outliers=8)
@@ -109,6 +111,7 @@ def test_segments_image():
     assert img[10, :].max() == 0
 
 
+@pytest.mark.slow
 def test_run_em_single_distribution_key():
     """The reference returns 'distribution' = the final E-step PDF bundle
     (vp_localisation.py:442); verify shape/consistency of the compat port."""

@@ -2,6 +2,7 @@
 reference has no concurrency to race, so the TPU-native replacement is
 determinism + vmap==single equivalence tests)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ def build(seed, n_pad=192):
             jnp.asarray(lmask))
 
 
+@pytest.mark.slow
 def test_em_deterministic():
     args = build(0)
     cfg = EMConfig()
@@ -39,6 +41,7 @@ def test_em_deterministic():
                                   np.asarray(r2.vp_assoc))
 
 
+@pytest.mark.slow
 def test_vmap_em_matches_single():
     cfg = EMConfig(m_slots=32)
     singles = [build(s, n_pad=160) for s in (1, 2, 3)]

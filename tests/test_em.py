@@ -1,5 +1,6 @@
 """End-to-end EM integration on synthetic Manhattan scenes."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def angle_between(a, b):
     return np.arccos(min(abs(float(np.dot(a, b))), 1.0))
 
 
+@pytest.mark.slow
 def test_em_recovers_manhattan_vps():
     scene, (l, lp, cnn, img, lmask) = build_inputs(seed=1)
     cfg = EMConfig()
@@ -66,6 +68,7 @@ def test_em_then_horizon_error_small():
     assert err < 0.08, err
 
 
+@pytest.mark.slow
 def test_em_no_weights_mode():
     scene, (l, lp, cnn, img, lmask) = build_inputs(seed=3)
     res = expectation_maximisation(l, lp, cnn, img, lmask,
@@ -74,6 +77,7 @@ def test_em_no_weights_mode():
     assert np.asarray(res.alive).sum() >= 1
 
 
+@pytest.mark.slow
 def test_em_no_split_no_merge():
     scene, (l, lp, cnn, img, lmask) = build_inputs(seed=4)
     res = expectation_maximisation(l, lp, cnn, img, lmask,
@@ -81,6 +85,7 @@ def test_em_no_split_no_merge():
     assert bool(res.valid)
 
 
+@pytest.mark.slow
 def test_em_empty_input():
     n_pad = 64
     l = jnp.zeros((n_pad, 3), jnp.float32)

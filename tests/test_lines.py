@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -63,6 +64,7 @@ def test_pairwise_cosangle():
                     got[i, j], naive_cosangle(lp[i], lp[j], f), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_calc_lsim_masked():
     lp = rand_segments(8, seed=2)
     mask = np.array([True] * 6 + [False] * 2)
@@ -78,6 +80,7 @@ def test_calc_lsim_masked():
                 np.testing.assert_allclose(got[i, j], want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_line_rating_knn_against_naive():
     n = 15
     lp = rand_segments(n, seed=3)
@@ -99,6 +102,7 @@ def test_line_rating_knn_against_naive():
         np.testing.assert_allclose(got[i], tot / k2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_knn_masked_lines_scored_zero():
     lp = rand_segments(10, seed=4)
     mask = np.array([True] * 7 + [False] * 3)

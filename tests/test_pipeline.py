@@ -46,6 +46,7 @@ def pipe():
     return Pipeline(cfg=CFG)
 
 
+@pytest.mark.slow
 def test_full_image_to_horizon(pipe):
     # idealized-CNN shortcut is not available here: random weights mean the
     # CNN prior is noise, so this checks WIRING (shapes/validity), not AUC
@@ -59,6 +60,7 @@ def test_full_image_to_horizon(pipe):
     assert np.isfinite(res["hp1"]).all() and np.isfinite(res["hp2"]).all()
 
 
+@pytest.mark.slow
 def test_batch_matches_single(pipe):
     rng = np.random.default_rng(3)
     bundles = []
@@ -122,3 +124,75 @@ def test_device_detector_finds_scene_lines():
         ds.append(max(d1, d2))
     # median endpoint-to-support-line distance within ~2.5 px
     assert np.median(ds) < 2.5 * 2 / 640, np.median(ds)
+
+
+def test_device_detector_endpoint_parity():
+    """The CCL detector must localize endpoints, not just support lines
+    (the round-1 Hough formulation had ~0.48 fused AUC from bad spans)."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    rng = np.random.default_rng(3)
+    scene = synth.make_scene(rng, lines_per_vp=25, outliers=5)
+    img = render_scene_image(scene, size=640, rng=rng).astype(np.float32)
+    seg, mask = detect_segments_device(jnp.asarray(img), max_segments=512)
+    det = np.asarray(seg)[np.asarray(mask)]
+    s = 320.0
+
+    def match_err(ts):
+        d1 = (np.linalg.norm(det[:, :2] - ts[:2], axis=1)
+              + np.linalg.norm(det[:, 2:] - ts[2:], axis=1))
+        d2 = (np.linalg.norm(det[:, :2] - ts[2:], axis=1)
+              + np.linalg.norm(det[:, 2:] - ts[:2], axis=1))
+        return np.minimum(d1, d2).min() / 2
+
+    errs = np.array([match_err(ts) for ts in scene.segments]) * s
+    assert np.median(errs) < 3.0, np.median(errs)
+    assert (errs < 5.0).mean() > 0.5
+
+
+def test_device_detector_rejects_noise():
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    rng = np.random.default_rng(0)
+    img = np.clip(rng.normal(128, 3.0, (320, 320)), 0, 255).astype(np.float32)
+    _, mask = detect_segments_device(jnp.asarray(img), max_segments=256)
+    assert np.asarray(mask).sum() == 0
+
+
+def test_select_bucket():
+    from vanishing_points_2017_tpu.pipeline import select_bucket
+    assert select_bucket(10) == 512
+    assert select_bucket(512) == 512
+    assert select_bucket(513) == 1024
+    assert select_bucket(2049) == 2048  # capped at the largest
+
+
+def test_pad_lines_truncation_warns(caplog):
+    import logging
+    seg = np.zeros((600, 4), np.float32)
+    seg[:, 2] = np.linspace(0.1, 0.9, 600)
+    with caplog.at_level(logging.WARNING, logger="vp_tpu"):
+        l, lp, m = pad_lines(seg, 512)
+    assert m.sum() == 512
+    assert any("truncating" in r.getMessage() for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_process_batch_mixed_buckets():
+    import jax
+    from vanishing_points_2017_tpu.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(n_pad=64, buckets=(64, 128))
+    pipe = Pipeline(cfg=cfg, rng_seed=0)
+    rng = np.random.default_rng(1)
+    sc1 = synth.make_scene(rng, lines_per_vp=8, outliers=2)     # < 64
+    sc2 = synth.make_scene(rng, lines_per_vp=30, outliers=10)   # > 64
+    b1 = dict(zip(("l", "lp", "lmask"), pad_lines(sc1.segments, 64)))
+    b2 = dict(zip(("l", "lp", "lmask"), pad_lines(sc2.segments, 128)))
+    out = pipe.process_batch([b1, b2])
+    assert np.asarray(out["hp1"]).shape == (2, 3)
+    assert np.isfinite(np.asarray(out["hp1"])).all()

@@ -35,6 +35,7 @@ def test_param_sharding_rules():
     assert c1.sharding.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full():
     """The driver-facing contract: full training step + batched inference
     pipeline over an 8-device mesh."""

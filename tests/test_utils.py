@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from vanishing_points_2017_tpu.utils import StageTimer, get_logger, trace
@@ -27,6 +28,7 @@ def test_logger_singleton():
     assert get_logger() is get_logger()
 
 
+@pytest.mark.slow
 def test_params_npz_roundtrip(tmp_path):
     import jax
     from vanishing_points_2017_tpu.models import cnn

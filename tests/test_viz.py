@@ -10,6 +10,7 @@ from vanishing_points_2017_tpu.pipeline import Pipeline, PipelineConfig
 from vanishing_points_2017_tpu.data.datasets import render_scene_image
 
 
+@pytest.mark.slow
 def test_show_em_result_writes_figure(tmp_path):
     pytest.importorskip("matplotlib")
     from vanishing_points_2017_tpu import viz

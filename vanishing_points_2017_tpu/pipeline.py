@@ -28,10 +28,22 @@ from .ops import lines as lineops
 from .ops import sphere as sphere_mod
 
 
+BUCKETS = (512, 1024, 2048)
+
+
+def select_bucket(n: int, buckets: tuple = BUCKETS) -> int:
+    """Smallest static line-count bucket that fits n (largest if none do)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     sphere_size: int = 500
-    n_pad: int = 512             # line-count bucket (static shape)
+    n_pad: int = 512             # default line-count bucket (static shape)
+    buckets: tuple = BUCKETS     # auto-selected buckets (Pipeline.ingest)
     em: EMConfig = EMConfig()
     maxbest: int = 20            # best VPs for the horizon search
     theta_vmin: float = float(np.pi / 10)
@@ -49,11 +61,18 @@ class PipelineConfig:
 def pad_lines(segments: np.ndarray, n_pad: int):
     """Normalized segments -> padded (l, lp, lmask) arrays.
 
-    Keeps the longest segments when there are more than n_pad (stable for
-    typical scenes: YUD/ECD images yield a few hundred LSD segments).
+    Keeps the longest segments when there are more than n_pad — and SAYS SO
+    (the reference has no cap, ``evaluation.py:154-169``; a silent cap would
+    make dense 800-px ECD/HLW scenes quietly lose lines). Callers that want
+    no truncation pick a bucket first with :func:`select_bucket`.
     """
     n = segments.shape[0]
     if n > n_pad:
+        from .utils.profiling import get_logger
+        get_logger().warning(
+            "pad_lines: truncating %d segments to the %d longest "
+            "(pick a larger bucket via PipelineConfig.buckets to keep all)",
+            n, n_pad)
         length = np.hypot(segments[:, 0] - segments[:, 2],
                           segments[:, 1] - segments[:, 3])
         keep = np.sort(np.argsort(-length)[:n_pad])
@@ -149,14 +168,21 @@ class Pipeline:
 
     def ingest(self, image: np.ndarray | str,
                target_size: int | None = None) -> dict:
-        """Load/resize/grayscale + LSD. Returns the host-side line bundle."""
+        """Load/resize/grayscale + LSD. Returns the host-side line bundle.
+
+        The line bucket is auto-selected per image (smallest of
+        ``cfg.buckets`` that fits, so nothing is truncated up to the
+        largest bucket); ``process_batch`` re-pads a mixed batch to its
+        largest bucket before the device call.
+        """
         if isinstance(image, str):
             image = dio.load_image(image)
         if target_size is not None:
             image = dio.resize_max(image, target_size)
         gray = dio.rgb2gray(image)
         det = dio.detect_lsd_lines(gray)
-        l, lp, lmask = pad_lines(det["segments"], self.cfg.n_pad)
+        n_pad = select_bucket(det["segments"].shape[0], self.cfg.buckets)
+        l, lp, lmask = pad_lines(det["segments"], n_pad)
         return {"image_shape": gray.shape, "segments": det["segments"],
                 "nfa": det["nfa"], "l": l, "lp": lp, "lmask": lmask}
 
@@ -178,9 +204,19 @@ class Pipeline:
         return out
 
     def process_batch(self, bundles: list[dict]) -> dict:
-        l = jnp.asarray(np.stack([b["l"] for b in bundles]))
-        lp = jnp.asarray(np.stack([b["lp"] for b in bundles]))
-        m = jnp.asarray(np.stack([b["lmask"] for b in bundles]))
+        n_pad = max(int(b["l"].shape[0]) for b in bundles)
+
+        def repad(a, fill=0):
+            a = np.asarray(a)
+            if a.shape[0] == n_pad:
+                return a
+            pad = [(0, n_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, pad, constant_values=fill)
+
+        l = jnp.asarray(np.stack([repad(b["l"]) for b in bundles]))
+        lp = jnp.asarray(np.stack([repad(b["lp"]) for b in bundles]))
+        m = jnp.asarray(np.stack([repad(b["lmask"], fill=False)
+                                  for b in bundles]))
         return device_pipeline_batch(l, lp, m, self.params, self.mean,
                                      self.cfg)
 
