@@ -127,11 +127,13 @@ def main() -> int:
 
     # ---- eval loop (identical protocol to the reference) ----
     errors = []
+    skipped = 0  # images in the eval slice without a result or ground truth
     start_time = time.time()
     for count, rec in enumerate(records, 1):
         if count <= start:
             continue
         if rec.true_horizon is None or not cache.has(rec.name, "result"):
+            skipped += 1
             continue
         res = cache.load(rec.name, "result")
         shape = cache.load(rec.name, "lines")["image_shape"]
@@ -141,6 +143,11 @@ def main() -> int:
         print(f"max_error: {err}")
         errors.append(err)
     print("time elapsed: ", time.time() - start_time)
+    # the reference silently skips images with missing results/GT
+    # (its benchmark.py:119-132); an AUC over a partial set must not print
+    # identically to a full run, so report the coverage explicitly
+    print(f"evaluated: {len(errors)} / {len(records) - start} "
+          f"(skipped: {skipped})")
 
     if not errors:
         print("no evaluated images (missing results or ground truth)")

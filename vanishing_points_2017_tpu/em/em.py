@@ -477,14 +477,14 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
     def cond(st: _State):
         return ~st.done
 
-    def body(st: _State):
+    def body(st: _State, with_split_merge: bool = True):
         i, v_cur, v_next, log_s, alive = (st.i, st.v_cur, st.v_next,
                                           st.log_s, st.alive)
         empty_now = jnp.sum(alive) == 0
         go = ~st.done & ~empty_now
 
         # ---- split move (every split_merge_freq iters, 0 < i < 100)
-        if cfg.do_split:
+        if cfg.do_split and with_split_merge:
             split_due = go & (jnp.mod(i, cfg.split_merge_freq) == 0) & \
                 (i > 0) & (i < SPLIT_MERGE_IT)
             _, w_s = estep(v_cur, alive, log_s)
@@ -524,7 +524,7 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
             (i == cfg.num_iter - 1) | (not cfg.do_iterations)
 
         # ---- periodic merge (only when not converged this iteration)
-        if cfg.do_merge:
+        if cfg.do_merge and with_split_merge:
             merge_due = go & ~converged & (jnp.mod(i, cfg.split_merge_freq) == 0) \
                 & (i > 0) & (i <= SPLIT_MERGE_IT + cfg.split_merge_freq)
             v_next, log_s, alive = _merge_vps(
@@ -542,6 +542,26 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
             v_next=v_next,
             log_s=log_s, alive=alive, done=done, empty=empty)
 
-    state = jax.lax.while_loop(cond, body, state0)
+    # Phase-structured loop. Split/merge are only ever due when
+    # i % split_merge_freq == 0, and i advances in lockstep across a vmapped
+    # batch (elements either advance by exactly 1 per iteration or freeze at
+    # convergence), so every iteration with i % freq != 0 provably skips the
+    # gated split/merge blocks. Running [1 full iteration + (freq-1) plain
+    # E+M iterations] per phase executes the identical op sequence while
+    # keeping the split E-step, the clustering linkage loop and the merge
+    # loop out of the hot path — ~2x fewer E-steps per iteration than a
+    # single uniform body (the gated blocks are selects, not branches, under
+    # vmap so they would otherwise be paid every iteration).
+    plain_steps = max(int(cfg.split_merge_freq) - 1, 0)
+
+    def phase(st: _State):
+        st = body(st, with_split_merge=True)
+        if plain_steps:
+            st = jax.lax.scan(
+                lambda s, _: (body(s, with_split_merge=False), None),
+                st, None, length=plain_steps)[0]
+        return st
+
+    state = jax.lax.while_loop(cond, phase, state0)
 
     return _finalize(state, pdfpar, l, lp, lmask, lweight, lsim, langles, cfg)
