@@ -222,3 +222,55 @@ def test_real_caffemodel_golden_if_present():
                        jnp.asarray(golden["mean"]))
     out = np.asarray(cnn.forward(params, x))[0]
     np.testing.assert_allclose(out, golden["prediction"], atol=1e-4)
+
+
+def test_factorized_forward_matches_dense():
+    import jax
+    from vanishing_points_2017_tpu.models import factorize
+
+    params = cnn.init_params(jax.random.PRNGKey(3), input_size=100)
+    # plant an exactly-rank-32 fc7 so a rank-64 truncation is lossless and
+    # the factorized forward must reproduce the dense forward
+    rng = np.random.default_rng(3)
+    w_lr = (rng.standard_normal((4096, 32)).astype(np.float32) * 0.02) @ \
+        (rng.standard_normal((32, 4096)).astype(np.float32) * 0.02)
+    params["fc7"]["w"] = jnp.asarray(w_lr)
+    fact = factorize.factorize_params(params, ranks={"fc7": 64})
+    assert fact["fc7"]["u"].shape == (4096, 64)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 100, 100, 1))
+    dense_out = np.asarray(cnn.forward(params, x))
+    fact_out = np.asarray(cnn.forward(
+        jax.tree.map(jnp.asarray, fact), x))
+    np.testing.assert_allclose(fact_out, dense_out, atol=2e-5)
+    # densify(factorize(w)) reconstructs w for rank >= matrix rank
+    dense2 = factorize.densify(fact)
+    np.testing.assert_allclose(dense2["fc7"]["w"], w_lr, atol=1e-5)
+
+
+def test_low_rank_truncation_is_best_approx():
+    from vanishing_points_2017_tpu.models import factorize
+
+    rng = np.random.default_rng(5)
+    # matrix with fast-decaying spectrum, like a trained fc layer
+    u = rng.standard_normal((300, 40)).astype(np.float32)
+    v = rng.standard_normal((40, 200)).astype(np.float32)
+    s = (0.5 ** np.arange(40)).astype(np.float32)
+    w = (u * s[None, :]) @ v
+    uu, vv = factorize.factorize_layer(w, rank=20)
+    err = np.linalg.norm(uu @ vv - w) / np.linalg.norm(w)
+    assert err < 1e-4  # spectrum below rank 20 is ~1e-6 of the mass
+
+
+def test_params_npz_f16_roundtrip(tmp_path):
+    import jax
+    from vanishing_points_2017_tpu import weights as wload
+
+    params = cnn.init_params(jax.random.PRNGKey(6), input_size=100)
+    p = str(tmp_path / "w16.npz")
+    wload.params_to_npz(params, p, step=7, dtype=np.float16)
+    got, step = wload.params_from_npz(p, with_step=True)
+    assert step == 7
+    assert got["conv1"]["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got["conv1"]["w"]),
+                               np.asarray(params["conv1"]["w"]),
+                               atol=1e-3, rtol=1e-2)

@@ -148,3 +148,49 @@ def test_agglomerative_two_respects_mask():
                                                 jnp.asarray(active)))
     assert not in_a[3:].any()
     assert in_a.sum() in (1, 2)  # 3 actives -> clusters of 1 and 2
+
+
+def test_smallest_eigvec_3x3_matches_eigh():
+    rng = np.random.default_rng(7)
+    mats = []
+    for _ in range(200):
+        b = rng.normal(size=(5, 3))
+        mats.append(b.T @ b)  # generic PSD
+    # near-rank-deficient grams (the common M-step case: concurrent lines)
+    for _ in range(50):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        u = rng.normal(size=(2, 3))
+        u -= np.outer(u @ d, d)
+        mats.append(u.T @ u + 1e-7 * np.outer(d, d))
+    a = jnp.asarray(np.stack(mats), jnp.float32)
+    v = np.asarray(wmod.smallest_eigvec_3x3(a))
+    vals, vecs = np.linalg.eigh(np.stack(mats))
+    ref = vecs[:, :, 0]
+    dots = np.abs(np.sum(v * ref, axis=-1))
+    # direction match where the eigengap is resolvable in f32; for
+    # near-degenerate gaps the direction is arbitrary (the TLS objective is
+    # flat) and only the Rayleigh-quotient quality is meaningful
+    gap = (vals[:, 1] - vals[:, 0]) / np.maximum(vals[:, 2], 1e-30)
+    sep = gap > 1e-3
+    np.testing.assert_array_less(0.9999, dots[sep] + 1e-12)
+    rayleigh = np.einsum("ki,kij,kj->k", v, np.stack(mats), v)
+    np.testing.assert_array_less(
+        rayleigh, vals[:, 0] + 2e-3 * np.maximum(vals[:, 2], 1e-30) + 1e-12)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_smallest_eigvec_3x3_degenerate():
+    # multiplicity-2 smallest eigenvalue: any unit vector in the null plane
+    d = np.array([1.0, 2.0, 3.0])
+    d /= np.linalg.norm(d)
+    a = jnp.asarray(5.0 * np.outer(d, d), jnp.float32)  # eigvals {0, 0, 5}
+    v = np.asarray(wmod.smallest_eigvec_3x3(a))
+    assert abs(v @ d) < 1e-5
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    # fully isotropic: any unit vector is valid
+    v2 = np.asarray(wmod.smallest_eigvec_3x3(jnp.eye(3) * 2.0))
+    np.testing.assert_allclose(np.linalg.norm(v2), 1.0, rtol=1e-5)
+    # all-zero gram (the vp_ok = False path): must still be finite
+    v3 = np.asarray(wmod.smallest_eigvec_3x3(jnp.zeros((3, 3))))
+    assert np.all(np.isfinite(v3))

@@ -273,9 +273,7 @@ def _split_best_vp(v_cur, log_s, alive, w, l, lp, lmask, lweight, langles,
         cnt_c = jnp.sum(mask_c)
         lc = jnp.where(mask_c[:, None], lsc, 0.0)
         gram = lc.T @ lc
-        _, vecs = jnp.linalg.eigh(gram)
-        vp = vecs[:, 0]
-        vp = vp / jnp.linalg.norm(vp)
+        vp = wmod.smallest_eigvec_3x3(gram)
         vp = jnp.where(vp[2] < 0, -vp, vp)  # z == 0 left as-is (reference)
         return vp, cnt_c >= 3
 

@@ -18,6 +18,75 @@ import jax.numpy as jnp
 from ..ops import probability as prob
 
 
+def smallest_eigvec_3x3(a: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3.
+
+    Closed form (trigonometric Cardano eigenvalues + adjugate cross-product
+    eigenvector, the standard non-iterative 3x3 symmetric eigensolver):
+    pure elementwise ops that fuse into the surrounding EM kernel, replacing
+    XLA's iterative ``eigh`` in the ``lax.while_loop`` hot path. a: (..., 3, 3)
+    symmetric; returns (..., 3), sign unspecified (callers sign-fix).
+
+    Degenerate handling: if the smallest eigenvalue has multiplicity >= 2
+    (all row cross products of A - lambda I vanish), any null-plane vector is
+    a valid answer — we return a vector orthogonal to the largest row, and
+    for a fully isotropic A (= q I) the fixed vector (1, 0, 0), mirroring the
+    arbitrary-basis freedom ``eigh`` also has there.
+    """
+    q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    b = a - q * jnp.eye(3, dtype=a.dtype)
+    p2 = jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0
+    p = jnp.sqrt(p2)
+    p_safe = jnp.where(p > 0, p, 1.0)
+    bn = b / p_safe
+    # det(bn) / 2, clamped into acos domain
+    det = (bn[..., 0, 0] * (bn[..., 1, 1] * bn[..., 2, 2]
+                            - bn[..., 1, 2] * bn[..., 2, 1])
+           - bn[..., 0, 1] * (bn[..., 1, 0] * bn[..., 2, 2]
+                              - bn[..., 1, 2] * bn[..., 2, 0])
+           + bn[..., 0, 2] * (bn[..., 1, 0] * bn[..., 2, 1]
+                              - bn[..., 1, 1] * bn[..., 2, 0]))
+    r = jnp.clip(det / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues q + 2 p cos(phi + 2 pi k / 3); k = 1 gives the smallest
+    lam_min = q[..., 0, 0] + 2.0 * p[..., 0, 0] * jnp.cos(
+        phi + 2.0 * jnp.pi / 3.0)
+
+    m = a - lam_min[..., None, None] * jnp.eye(3, dtype=a.dtype)
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3, 3)
+    norms = jnp.sum(cands * cands, axis=-1)  # (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    rn = jnp.sum(m * m, axis=-1)  # (..., 3) row norms^2
+    # crosses of rank-1 rows are pure f32 noise; accept them only when their
+    # norm is significant RELATIVE to the row scale (rel eigengap > ~1e-3 —
+    # below that the TLS objective is flat and any null-plane vector is as
+    # good an answer as eigh's)
+    rn_max = jnp.max(rn, axis=-1)
+    good = jnp.max(norms, axis=-1) > 1e-6 * rn_max * rn_max
+
+    # multiplicity >= 2: null space is the plane orthogonal to the largest
+    # row of m; build an in-plane vector robustly
+    bi = jnp.argmax(rn, axis=-1)
+    brow = jnp.take_along_axis(m, bi[..., None, None].repeat(3, -1),
+                               axis=-2)[..., 0, :]
+    # cross with the coordinate axis least aligned with brow
+    ax = jnp.argmin(jnp.abs(brow), axis=-1)
+    e = jnp.eye(3, dtype=a.dtype)[ax]
+    alt = jnp.cross(brow, e)
+    isotropic = jnp.max(rn, axis=-1) <= 0
+    alt = jnp.where(isotropic[..., None],
+                    jnp.array([1.0, 0.0, 0.0], a.dtype), alt)
+
+    v = jnp.where(good[..., None], v, alt)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
 def weight_matrix(p_vl: jnp.ndarray, lweight: jnp.ndarray, lsim: jnp.ndarray,
                   bias: float = 1.0) -> jnp.ndarray:
     """Smooth responsibilities across similar lines.
@@ -50,9 +119,7 @@ def calc_new_vanishing_point(l: jnp.ndarray, w: jnp.ndarray):
     wn = w / jnp.where(valid, wmax, 1.0)
     lw = l * wn[:, None]
     gram = lw.T @ lw  # (3, 3) = L^T diag(wn^2) L
-    _, vecs = jnp.linalg.eigh(gram)
-    vp = vecs[:, 0]  # smallest eigenvalue's eigenvector = SVD null direction
-    vp = vp / jnp.linalg.norm(vp)
+    vp = smallest_eigvec_3x3(gram)  # = SVD null direction
     vp = vp * jnp.sign(vp[2])
     return vp, valid
 

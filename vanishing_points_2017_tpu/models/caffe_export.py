@@ -57,8 +57,12 @@ def blob_bytes(arr: np.ndarray, legacy_shape: bool = False) -> bytes:
 
 
 def _layer_blobs(name: str, params: dict) -> list[np.ndarray]:
-    w = np.asarray(params[name]["w"])
-    b = np.asarray(params[name]["b"])
+    layer = params[name]
+    if "u" in layer:  # low-rank factorized FC (models/factorize): densify
+        w = np.asarray(layer["u"]) @ np.asarray(layer["v"])
+    else:
+        w = np.asarray(layer["w"])
+    b = np.asarray(layer["b"])
     if name in _CONV:
         w = np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
     else:

@@ -165,7 +165,11 @@ def forward(params: dict[str, Any], x: jnp.ndarray, *, train: bool = False,
 
     for i, (name, _out, _b, _std) in enumerate(_FC_SPECS):
         p = params[name]
-        h = h.astype(compute_dtype) @ p["w"].astype(compute_dtype)
+        hc = h.astype(compute_dtype)
+        if "u" in p:  # low-rank factorized layer: w = u @ v (models/factorize)
+            h = (hc @ p["u"].astype(compute_dtype)) @ p["v"].astype(compute_dtype)
+        else:
+            h = hc @ p["w"].astype(compute_dtype)
         h = h.astype(jnp.float32) + p["b"]
         if name != "fc8_20x20":
             h = jax.nn.relu(h)

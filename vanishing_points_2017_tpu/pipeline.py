@@ -48,6 +48,9 @@ class PipelineConfig:
     maxbest: int = 20            # best VPs for the horizon search
     theta_vmin: float = float(np.pi / 10)
     renderer: str = "xla"        # "xla" | "pallas" (TPU-only kernel)
+    cnn_dtype: str = "bfloat16"  # inference conv/fc compute dtype; the CNN
+    # output is a soft 20x20 prior, bf16 on the MXU halves its HBM traffic
+    # (training runs bf16 already; "float32" restores exact r1 numerics)
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -104,7 +107,8 @@ def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
     else:
         img_u8 = sphere_mod.sphere_image_uint8(l, lmask, size=cfg.sphere_size)
     x = cnn_mod.preprocess(img_u8[None], mean)
-    pred = cnn_mod.forward(params, x)[0]  # (20, 20)
+    pred = cnn_mod.forward(params, x,
+                           compute_dtype=jnp.dtype(cfg.cnn_dtype).type)[0]
     em = expectation_maximisation(l, lp, pred, img_u8.astype(jnp.float32),
                                   lmask, cfg.em)
     hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(

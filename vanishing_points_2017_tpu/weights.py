@@ -14,11 +14,17 @@ import os
 import numpy as np
 
 
-def params_to_npz(params, path: str, step: int | None = None) -> None:
+def params_to_npz(params, path: str, step: int | None = None,
+                  dtype=None) -> None:
+    """``dtype=np.float16`` halves the artifact (10 mantissa bits cover the
+    trained weight range comfortably; loading upcasts to float32)."""
     flat = {}
     for layer, d in params.items():
         for k, v in d.items():
-            flat[f"{layer}/{k}"] = np.asarray(v)
+            v = np.asarray(v)
+            if dtype is not None and v.dtype.kind == "f":
+                v = v.astype(dtype)
+            flat[f"{layer}/{k}"] = v
     if step is not None:
         flat["__step__"] = np.asarray(step)
     # uncompressed: trained float weights are incompressible and zlib on the
@@ -37,7 +43,10 @@ def params_from_npz(path: str, with_step: bool = False):
                 step = int(z[key])
                 continue
             layer, k = key.split("/")
-            params.setdefault(layer, {})[k] = jnp.asarray(z[key])
+            v = z[key]
+            if v.dtype.kind == "f":
+                v = v.astype(np.float32)  # storage may be float16
+            params.setdefault(layer, {})[k] = jnp.asarray(v)
     return (params, step) if with_step else params
 
 
