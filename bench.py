@@ -81,11 +81,19 @@ def main() -> int:
         return float(jnp.sum(out["hp1"]))
 
     # ---- headline: end-to-end incl. detection + H2D transfer ----
-    full = jax.jit(lambda im: device_pipeline_full(im, pipe.params,
-                                                   pipe.mean, cfg))
+    # One lowered+compiled executable serves timing AND cost analysis: on
+    # the axon platform every distinct jitted program pays a 2-10 min
+    # server-side first-execution setup that the local persistent cache
+    # cannot avoid, so bench compiles as few programs as possible.
+    imgs_dev0 = jnp.asarray(imgs_host)
     t0 = time.time()
-    readback(full(jnp.asarray(imgs_host)))
+    full = (jax.jit(lambda im: device_pipeline_full(im, pipe.params,
+                                                    pipe.mean, cfg))
+            .lower(imgs_dev0).compile())
     compile_full_s = time.time() - t0
+    t0 = time.time()
+    readback(full(imgs_dev0))
+    first_exec_s = time.time() - t0  # includes the axon server setup
     t0 = time.time()
     for _ in range(iters):
         readback(full(jnp.asarray(imgs_host)))  # includes H2D each iter
@@ -93,16 +101,21 @@ def main() -> int:
     e2e_ips = batch * iters / dt_full
 
     # ---- breakdown: fused device program on pre-extracted lines ----
-    fused = jax.jit(lambda a, b, c: device_pipeline_batch(
-        a, b, c, pipe.params, pipe.mean, cfg))
-    t0 = time.time()
-    readback(fused(l, lp, m))
-    compile_fused_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
+    # (a second big program = a second server setup; opt out with
+    # BENCH_BREAKDOWN=0 when wall clock matters more than the split)
+    fused_ips = None
+    compile_fused_s = None
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        fused = jax.jit(lambda a, b, c: device_pipeline_batch(
+            a, b, c, pipe.params, pipe.mean, cfg))
+        t0 = time.time()
         readback(fused(l, lp, m))
-    dt_fused = time.time() - t0
-    fused_ips = batch * iters / dt_fused
+        compile_fused_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            readback(fused(l, lp, m))
+        dt_fused = time.time() - t0
+        fused_ips = batch * iters / dt_fused
 
     # ---- breakdown: host C++ LSD (the alternative detection path) ----
     from vanishing_points_2017_tpu.data import io as dio
@@ -110,13 +123,11 @@ def main() -> int:
     det = dio.detect_lsd_lines(imgs_np[0].astype(np.float64))
     lsd_s = time.time() - t0
 
-    # ---- MFU estimate from XLA's own cost analysis ----
+    # ---- MFU estimate from XLA's own cost analysis (same executable) ----
     mfu = None
     flops_per_img = None
     try:
-        cost = (jax.jit(lambda im: device_pipeline_full(
-            im, pipe.params, pipe.mean, cfg))
-            .lower(jnp.asarray(imgs_host)).compile().cost_analysis())
+        cost = full.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -130,8 +141,9 @@ def main() -> int:
     sys.stderr.write(
         f"device={jax.devices()[0].device_kind} batch={batch} iters={iters} "
         f"size={size} compile_full={compile_full_s:.1f}s "
-        f"compile_fused={compile_fused_s:.1f}s "
-        f"e2e={e2e_ips:.2f} img/s fused={fused_ips:.2f} img/s "
+        f"first_exec={first_exec_s:.1f}s "
+        f"compile_fused={compile_fused_s} "
+        f"e2e={e2e_ips:.2f} img/s fused={fused_ips} img/s "
         f"lsd_host={lsd_s * 1000:.0f}ms/img "
         f"({det['segments'].shape[0]} segs) "
         f"mfu={mfu if mfu is None else round(mfu, 4)}\n")
@@ -148,10 +160,13 @@ def main() -> int:
             "includes_detection": True,
             "image_size": size,
             "batch": batch,
-            "fused_device_images_per_sec": round(fused_ips, 3),
+            "fused_device_images_per_sec":
+                None if fused_ips is None else round(fused_ips, 3),
             "host_lsd_ms_per_image": round(lsd_s * 1000, 1),
             "compile_full_s": round(compile_full_s, 1),
-            "compile_fused_s": round(compile_fused_s, 1),
+            "first_exec_setup_s": round(first_exec_s, 1),
+            "compile_fused_s":
+                None if compile_fused_s is None else round(compile_fused_s, 1),
             "flops_per_image": flops_per_img,
             "mfu_estimate": None if mfu is None else round(mfu, 4),
         },
