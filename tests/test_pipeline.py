@@ -152,6 +152,89 @@ def test_device_detector_endpoint_parity():
     assert (errs < 5.0).mean() > 0.5
 
 
+def _detector_edge_graph(seed: int, size: int):
+    """Active mask, directions, and edge masks of a rendered scene."""
+    import math as _math
+
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops import lines_device as ld
+
+    rng = np.random.default_rng(seed)
+    scene = synth.make_scene(rng, lines_per_vp=25, outliers=8)
+    img = render_scene_image(scene, size=size, rng=rng).astype(np.float32)
+    im = ld._gaussian_blur(jnp.asarray(img), 1.0)
+    com1 = im[1:, 1:] - im[:-1, :-1]
+    com2 = im[:-1, 1:] - im[1:, :-1]
+    gx, gy = 0.5 * (com1 + com2), 0.5 * (com1 - com2)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    tol = _math.radians(ld.TOL_DEG)
+    active = mag > ld.QUANT / _math.sin(tol)
+    inv = jnp.where(mag > 0, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
+    return active, gx * inv, -gy * inv, _math.cos(tol)
+
+
+def test_raster_ccl_reaches_fixpoint():
+    """After the default pass count, one more neighbour-min round over the
+    edge graph must be a no-op (the labels are a CCL fixpoint)."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops import lines_device as ld
+
+    for seed in (0, 7):
+        active, ux, uy, cos_tol = _detector_edge_graph(seed, 320)
+        h, w = active.shape
+        lab = jnp.asarray(ld._connected_components(
+            active, ux, uy, cos_tol, passes=8)).reshape(h, w)
+        em = ld._edge_masks(active, ux, uy, cos_tol)
+        best = lab
+        for key, m in em.items():
+            dy, dx = key
+            nb = ld._shift(lab, dy, dx, ld._I32_MAX)
+            best = jnp.minimum(best, jnp.where(m, nb, ld._I32_MAX))
+        np.testing.assert_array_equal(np.asarray(best), np.asarray(lab))
+
+
+@pytest.mark.slow
+def test_raster_ccl_matches_bfs_oracle():
+    """The gather-free raster CCL must produce the exact min-label
+    connected components (python BFS oracle) on a rendered scene.  NB the
+    pointer-jumping formulation it replaced does NOT pass this — it keeps
+    a few dozen unconverged pixels even at 2x log2(HW) rounds."""
+    from collections import deque
+
+    from vanishing_points_2017_tpu.ops import lines_device as ld
+
+    active, ux, uy, cos_tol = _detector_edge_graph(0, 256)
+    h, w = active.shape
+    em = {k: np.asarray(v)
+          for k, v in ld._edge_masks(active, ux, uy, cos_tol).items()}
+
+    out = np.arange(h * w).reshape(h, w)
+    visited = np.zeros((h, w), bool)
+    for y in range(h):
+        for x in range(w):
+            if visited[y, x]:
+                continue
+            comp = [(y, x)]
+            visited[y, x] = True
+            q = deque([(y, x)])
+            while q:
+                cy, cx = q.popleft()
+                for (dy, dx), mm in em.items():
+                    ny, nx = cy + dy, cx + dx
+                    if (0 <= ny < h and 0 <= nx < w and mm[cy, cx]
+                            and not visited[ny, nx]):
+                        visited[ny, nx] = True
+                        comp.append((ny, nx))
+                        q.append((ny, nx))
+            ml = min(cy * w + cx for cy, cx in comp)
+            for cy, cx in comp:
+                out[cy, cx] = ml
+
+    raster = np.asarray(ld._connected_components(active, ux, uy,
+                                                 cos_tol, passes=8))
+    np.testing.assert_array_equal(raster, out.reshape(-1))
+
+
 def test_device_detector_rejects_noise():
     import jax.numpy as jnp
     from vanishing_points_2017_tpu.ops.lines_device import (
