@@ -64,7 +64,7 @@ def main() -> int:
         active, ux, uy, mag = front(image)
         root = ld._connected_components(active, ux, uy, cos_tol, 8)
         wgt = jnp.where(active.reshape(-1), mag.reshape(-1) / 255.0, 0.0)
-        rl, rm, sv = ld._run_mass_select(root, wgt, 512)
+        rl, rm, sv = ld._run_mass_select(root, wgt, 512, active.shape)
         return jnp.sum(rl) + jnp.sum(rm)
 
     def bench(name, fn, *args):

@@ -151,7 +151,8 @@ def test_mean_binaryproto(tmp_path):
 def _export_import_case(tmp_path, legacy):
     from vanishing_points_2017_tpu.models import caffe_export
 
-    params = cnn.init_params(jax.random.PRNGKey(3), input_size=120)
+    params = cnn.init_params(jax.random.PRNGKey(3), input_size=120,
+                             fc_width=64)
     path = str(tmp_path / ("w_v1.caffemodel" if legacy else "w.caffemodel"))
     caffe_export.params_to_caffemodel(
         jax.tree.map(np.asarray, params), path, legacy=legacy)
@@ -182,7 +183,8 @@ def test_caffe_dropin_activation_parity(tmp_path):
     from vanishing_points_2017_tpu.models import caffe_export
     from vanishing_points_2017_tpu import weights as wload
 
-    params = cnn.init_params(jax.random.PRNGKey(4), input_size=120)
+    params = cnn.init_params(jax.random.PRNGKey(4), input_size=120,
+                             fc_width=64)
     rng = np.random.default_rng(0)
     mean = rng.uniform(0, 30, size=(120, 120)).astype(np.float32)
     img = rng.integers(0, 255, size=(1, 120, 120)).astype(np.uint8)
@@ -228,15 +230,16 @@ def test_factorized_forward_matches_dense():
     import jax
     from vanishing_points_2017_tpu.models import factorize
 
-    params = cnn.init_params(jax.random.PRNGKey(3), input_size=100)
+    params = cnn.init_params(jax.random.PRNGKey(3), input_size=100,
+                             fc_width=256)
     # plant an exactly-rank-32 fc7 so a rank-64 truncation is lossless and
     # the factorized forward must reproduce the dense forward
     rng = np.random.default_rng(3)
-    w_lr = (rng.standard_normal((4096, 32)).astype(np.float32) * 0.02) @ \
-        (rng.standard_normal((32, 4096)).astype(np.float32) * 0.02)
+    w_lr = (rng.standard_normal((256, 32)).astype(np.float32) * 0.02) @ \
+        (rng.standard_normal((32, 256)).astype(np.float32) * 0.02)
     params["fc7"]["w"] = jnp.asarray(w_lr)
     fact = factorize.factorize_params(params, ranks={"fc7": 64})
-    assert fact["fc7"]["u"].shape == (4096, 64)
+    assert fact["fc7"]["u"].shape == (256, 64)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 100, 100, 1))
     dense_out = np.asarray(cnn.forward(params, x))
     fact_out = np.asarray(cnn.forward(

@@ -116,11 +116,13 @@ def _conv(x, w, b, stride, pad, groups, compute_dtype):
 
 
 def init_params(rng: jax.Array, dtype=jnp.float32,
-                input_size: int = INPUT_SIZE) -> dict[str, Any]:
+                input_size: int = INPUT_SIZE,
+                fc_width: int | None = None) -> dict[str, Any]:
     """Gaussian fillers exactly per ``train/train_val.prototxt``.
 
-    ``input_size`` != 500 shrinks fc6 accordingly (useful for fast tests);
-    the canonical network is 500.
+    ``input_size`` != 500 shrinks fc6 accordingly and ``fc_width``
+    overrides the 4096-neuron fc6/fc7 width (both useful for fast tests
+    — ``forward`` is shape-driven); the canonical network is 500/4096.
     """
     params: dict[str, Any] = {}
     in_ch = 1
@@ -131,6 +133,8 @@ def init_params(rng: jax.Array, dtype=jnp.float32,
         in_ch = out_ch
     in_dim = fc6_in(input_size)
     for name, out_dim, bias, std in _FC_SPECS:
+        if fc_width is not None and name != "fc8_20x20":
+            out_dim = fc_width
         rng, sub = jax.random.split(rng)
         w = jax.random.normal(sub, (in_dim, out_dim), dtype) * std
         params[name] = {"w": w, "b": jnp.full((out_dim,), bias, dtype)}

@@ -43,6 +43,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 QUANT = 2.0
 TOL_DEG = 22.5
@@ -68,15 +69,18 @@ def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     without the downsample keeps the pixel grid (and all static shapes).
     """
     r = max(1, int(3.0 * sigma + 0.5))
-    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    k = k / jnp.sum(k)
-    p = jnp.pad(img, ((r, r), (r, r)), mode="edge")[None, None]
-    out = jax.lax.conv_general_dilated(p, k[None, None, None, :], (1, 1),
-                                       padding="VALID")
-    out = jax.lax.conv_general_dilated(out, k[None, None, :, None], (1, 1),
-                                       padding="VALID")
-    return out[0, 0]
+    k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    # shift-and-add instead of conv: a (2r+1)-tap single-channel conv
+    # cannot use the MXU and measured ~2 ms/img; static shifted slices
+    # are pure VPU adds (~0.06 ms).
+    h, w = img.shape
+    p = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    out = sum(float(k[i]) * jax.lax.dynamic_slice(p, (i, 0), (h, w))
+              for i in range(2 * r + 1))
+    p = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
+    return sum(float(k[i]) * jax.lax.dynamic_slice(p, (0, i), (h, w))
+               for i in range(2 * r + 1))
 
 
 def _edge_masks(active: jnp.ndarray, ux: jnp.ndarray, uy: jnp.ndarray,
@@ -218,30 +222,60 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
 
 
 def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
-                     max_segments: int):
-    """Top-k component roots by total gradient mass, without scatters.
+                     max_segments: int, shape: tuple[int, int],
+                     runs_per_row: int = 128):
+    """Top-k component roots by total gradient mass.
 
-    Sort pixels by root label; a segmented cumsum of the (single-channel)
-    mass gives each run's total at its last position; top-k over those.
+    A component's pixels within one image row are contiguous runs, so a
+    per-row segmented sum scan (dense, no sort/scatter) yields per-run
+    masses at run ends.  Per-row top-``runs_per_row`` compresses the
+    (H, W) grid to H*runs_per_row run records; only those are sorted by
+    root and reduce-by-key'd into component totals — a ~6x smaller sort
+    than the full per-pixel argsort this replaces (10.6 -> ~2 ms/img on
+    v5e).  Exact unless a row holds more than ``runs_per_row`` runs of
+    nonzero mass, in which case that row's weakest runs stop counting
+    toward their components' ranking mass (the components themselves
+    survive through their other rows; per-slot moments stay exact).
     Returns (root_label (S,), run_mass (S,), slot_valid (S,)).
     """
-    n = root.shape[0]
-    order = jnp.argsort(root)
-    rs = root[order]
-    ws = wgt[order]
+    h, w = shape
+    r2 = root.reshape(h, w)
+    w2 = wgt.reshape(h, w)
 
+    # per-row segmented sum scan: run totals materialize at run ends
+    conn = jnp.concatenate(
+        [jnp.zeros((h, 1), bool), r2[:, 1:] == r2[:, :-1]], axis=1)
+    v, m = w2, conn
+    for k in range(max(1, math.ceil(math.log2(w)))):
+        d = 1 << k
+        v_sh = jnp.pad(v[:, :-d], ((0, 0), (d, 0)))
+        m_sh = jnp.pad(m[:, :-d], ((0, 0), (d, 0)), constant_values=False)
+        v = jnp.where(m, v + v_sh, v)
+        m = m & m_sh
+    is_end = jnp.concatenate(
+        [r2[:, 1:] != r2[:, :-1], jnp.ones((h, 1), bool)], axis=1)
+    rec_mass_row = jnp.where(is_end, v, -1.0)
+
+    k_row = min(runs_per_row, w)
+    top_mass, top_pos = jax.lax.top_k(rec_mass_row, k_row)   # (H, k)
+    top_root = jnp.take_along_axis(r2, top_pos, axis=1)
+    rec_mass = jnp.maximum(top_mass, 0.0).reshape(-1)
+    rec_root = jnp.where(top_mass > 0.0, top_root, -1).reshape(-1)
+
+    # reduce-by-key over the compressed records
+    rs, ws = jax.lax.sort([rec_root, rec_mass], num_keys=1)
     cw = jnp.cumsum(ws)
-    nxt = jnp.concatenate([rs[1:], jnp.full((1,), -1, rs.dtype)])
-    is_end = rs != nxt
-    prv = jnp.concatenate([jnp.full((1,), -1, rs.dtype), rs[:-1]])
-    is_start = rs != prv
-
+    n = rs.shape[0]
+    nxt = jnp.concatenate([rs[1:], jnp.full((1,), -2, rs.dtype)])
+    grp_end = rs != nxt
+    prv = jnp.concatenate([jnp.full((1,), -2, rs.dtype), rs[:-1]])
+    grp_start = rs != prv
     idx = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    start_idx = jax.lax.cummax(jnp.where(grp_start, idx, 0))
     before = jnp.where(start_idx > 0, cw[jnp.maximum(start_idx - 1, 0)], 0.0)
-    run_mass = cw - before  # exact only at run ends, which is all we read
+    total = cw - before  # exact at group ends, which is all we read
 
-    score = jnp.where(is_end, run_mass, -1.0)
+    score = jnp.where(grp_end & (rs >= 0), total, -1.0)
     top, pos = jax.lax.top_k(score, max_segments)
     return rs[pos], top, top > 0.0
 
@@ -305,7 +339,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     act = active.reshape(-1)
     wgt = jnp.where(act, mag.reshape(-1) / 255.0, 0.0)
 
-    root_label, _, slot_valid = _run_mass_select(root, wgt, max_segments)
+    root_label, _, slot_valid = _run_mass_select(root, wgt, max_segments,
+                                                 (hi, wi))
 
     # ---- pass A: exact component moments via chunked membership matmuls
     pad = (-npix) % chunk
