@@ -14,9 +14,10 @@ polylines on a 100-dpi figure, framebuffer grabbed and channel-averaged).
 This module replaces the C++ rasterizer with an analytic, jittable kernel:
 for each pixel column the curve's row centre and slope are evaluated, pixel
 coverage is an anti-aliased perpendicular-distance hat function, and the
-composite is the order-independent product 1 - prod_i (1 - alpha * cov_i),
-accumulated in log space over line chunks with ``lax.scan`` so memory stays
-at O(chunk * size^2).
+composite is 1 - (1-alpha)^(sum_i cov_i) — identical to the
+order-independent product 1 - prod_i (1 - alpha*cov_i) wherever coverage
+is 0/1 and within 0.13% on anti-aliased edge pixels; coverage accumulates
+over line chunks with ``lax.scan`` so memory stays at O(chunk * size^2).
 
 Orientation matches the Agg framebuffer: row 0 is the TOP of the figure
 (beta = +pi/2), column 0 is alpha = -pi/2. Downstream consumers
@@ -88,9 +89,8 @@ def sphere_render(l: jnp.ndarray, lmask: jnp.ndarray, size: int = 500,
     lmask = lmask.reshape(num_chunks, chunk)
 
     half_w = 0.5 * linewidth
-    log_keep_floor = jnp.float32(jnp.log1p(-alpha))  # full coverage per line
 
-    def body(log_t, operand):
+    def body(acc, operand):
         lc, mc = operand  # (chunk, 3), (chunk,)
         beta = curve_beta(lc, alphas, alternative=alternative)  # (chunk, S)
         # row centre: row 0 top = beta +pi/2
@@ -106,12 +106,17 @@ def sphere_render(l: jnp.ndarray, lmask: jnp.ndarray, size: int = 500,
         dist = jnp.abs(rows[None, :, :] - rc[:, None, :]) * inv_scale[:, None, :]
         cov = jnp.clip(0.5 + half_w - dist, 0.0, 1.0)  # (chunk, S, S)
         cov = jnp.where(mc[:, None, None], cov, 0.0)
-        contrib = jnp.sum(jnp.log1p(-alpha * cov), axis=0)
-        return log_t + jnp.maximum(contrib, chunk * log_keep_floor), None
+        return acc + jnp.sum(cov, axis=0), None
 
-    log_t0 = jnp.zeros((size, size), jnp.float32)
-    log_t, _ = jax.lax.scan(body, log_t0, (l, lmask))
-    return 1.0 - jnp.exp(log_t)
+    # Accumulate total coverage and composite once: 1 - (1-a)^acc.  For
+    # integer coverage this is EXACTLY the per-line product
+    # 1 - prod(1 - a*cov_i); for fractional (anti-aliased edge) coverage
+    # the difference is <= a/8 relative on that line's own term (0.13% at
+    # a=0.1) — far below the Agg-vs-analytic tolerance — and it removes
+    # the per-(line, pixel) log1p transcendental from the hot loop.
+    acc0 = jnp.zeros((size, size), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (l, lmask))
+    return 1.0 - jnp.exp(acc * jnp.log1p(-jnp.float32(alpha)))
 
 
 def sphere_image_uint8(l: jnp.ndarray, lmask: jnp.ndarray, size: int = 500,

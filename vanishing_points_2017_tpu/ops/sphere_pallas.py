@@ -3,14 +3,14 @@
 The XLA version (``ops/sphere.py``) scans line chunks and materialises a
 (chunk, S, S) coverage tensor per step in HBM-visible buffers; this kernel
 keeps everything in VMEM: the grid tiles the output image over rows, each
-program instance holds its (TILE_R, S) strip of log-transmittance in a VMEM
-accumulator and loops over all lines in registers, so the image is written
-to HBM exactly once.
+program instance holds its (TILE_R, S) strip of accumulated coverage in a
+VMEM accumulator and loops over all lines in registers, so the image is
+written to HBM exactly once.
 
 Math is identical to ``sphere.sphere_render``: per column alpha, the curve
 row centre rc = S/2 - 1/2 - beta(alpha) * S/pi, slope via central
-differences, anti-aliased perpendicular coverage, white-over-black alpha
-compositing 1 - prod(1 - a * cov) accumulated in log space.
+differences, anti-aliased perpendicular coverage, composite
+1 - (1-a)^(sum cov).
 
 The kernel runs on TPU via Mosaic; ``interpret=True`` runs it anywhere
 (used by the CPU test suite).
@@ -19,6 +19,7 @@ The kernel runs on TPU via Mosaic; ``interpret=True`` runs it anywhere
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,7 @@ def _render_kernel(l_ref, mask_ref, out_ref, *, size: int, tile_r: int,
 
     n_chunks = l_ref.shape[0] // LINE_CHUNK
 
-    def body(c, log_t):
+    def body(c, cov_acc):
         lc = l_ref[pl.ds(c * LINE_CHUNK, LINE_CHUNK), :]  # (C, 3)
         mc = mask_ref[pl.ds(c * LINE_CHUNK, LINE_CHUNK), :]  # (C, 1)
         l0 = lc[:, 0:1]
@@ -86,17 +87,18 @@ def _render_kernel(l_ref, mask_ref, out_ref, *, size: int, tile_r: int,
         # static unroll over the chunk: Mosaic cannot dynamic_slice a value
         # by a traced index, and static indexing keeps each (R, S) coverage
         # temporary live only briefly in VMEM
-        acc = log_t
+        acc = cov_acc
         for k in range(LINE_CHUNK):
             dist = jnp.abs(rows - rc[k, :][None, :]) * inv_scale[k, :][None, :]
             cov = jnp.clip(0.5 + half_w - dist, 0.0, 1.0)
-            cov = jnp.where(mc[k, 0] > 0, cov, 0.0)
-            acc = acc + jnp.log1p(-alpha * cov)
+            acc = acc + jnp.where(mc[k, 0] > 0, cov, 0.0)
         return acc
 
-    log_t = jax.lax.fori_loop(
+    # coverage sum + single (1-a)^acc composite — same formulation (and
+    # numerics) as ops/sphere.sphere_render
+    acc = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((tile_r, size), jnp.float32))
-    out_ref[:, :] = 1.0 - jnp.exp(log_t)
+    out_ref[:, :] = 1.0 - jnp.exp(acc * math.log1p(-alpha))
 
 
 @functools.partial(jax.jit,
