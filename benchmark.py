@@ -51,6 +51,11 @@ def main() -> int:
                     help="mean image (.npy or .binaryproto)")
     ap.add_argument("--batch", type=int, default=8,
                     help="device batch for the fused stage")
+    ap.add_argument("--device_detect", action="store_true",
+                    help="zero-host-round-trip path: line detection runs "
+                         "on device inside the fused program (no host "
+                         "LSD); images are grouped by shape, each "
+                         "distinct shape compiles one program")
     ap.add_argument("--num_synthetic", type=int, default=50)
     ap.add_argument("--no_weights_warn", action="store_true")
     args = ap.parse_args()
@@ -92,38 +97,68 @@ def main() -> int:
             ap.error(f"--dataset_dir required for {name}")
         records, start = dsets.DATASETS[name][0](args.dataset_dir)
 
-    cache = StageCache(os.path.join(args.result_dir, name), cfg.cache_key())
+    # device-detect results come from a different detector — separate
+    # cache identity so the two modes never serve each other's results
+    cache_key = cfg.cache_key() + ("_devdet" if args.device_detect else "")
+    cache = StageCache(os.path.join(args.result_dir, name), cache_key)
     print(f"dataset: {name}  images: {len(records)}  skip: {start}")
 
-    # ---- stage 1: host ingest + LSD ----
+    # ---- stage 1: host ingest (+ LSD unless detection runs on device) ----
     for rec in records:
-        if cache.has(rec.name, "lines") and not args.update_datafiles:
+        stage = "gray" if args.device_detect else "lines"
+        if cache.has(rec.name, stage) and not args.update_datafiles:
             continue
         img = rec.image if rec.image is not None else rec.image_path
-        host = pipe.ingest(img, target_size=target)
-        cache.save(rec.name, "lines", l=host["l"], lp=host["lp"],
-                   lmask=host["lmask"], segments=host["segments"],
-                   image_shape=np.asarray(host["image_shape"]))
-        print(f"lines: {rec.name}  segments={host['segments'].shape[0]}")
+        if args.device_detect:
+            host = pipe.ingest_image(img, target_size=target)
+            cache.save(rec.name, "gray", gray=host["gray"],
+                       image_shape=np.asarray(host["image_shape"]))
+            print(f"gray: {rec.name}  shape={host['image_shape']}")
+        else:
+            host = pipe.ingest(img, target_size=target)
+            cache.save(rec.name, "lines", l=host["l"], lp=host["lp"],
+                       lmask=host["lmask"], segments=host["segments"],
+                       image_shape=np.asarray(host["image_shape"]))
+            print(f"lines: {rec.name}  segments={host['segments'].shape[0]}")
 
-    # ---- stage 2: fused device pass (CNN + EM + horizon), batched ----
+    # ---- stage 2: fused device pass, batched ----
+    # (device_detect: detection + CNN + EM + horizon in ONE program)
     if args.run_cnn or args.run_em:
         todo = [r for r in records
                 if args.update_datafiles or not cache.has(r.name, "result")]
-        for i in range(0, len(todo), args.batch):
-            chunk = todo[i:i + args.batch]
-            bundles = [cache.load(r.name, "lines") for r in chunk]
-            while len(bundles) < args.batch:  # pad the last batch
-                bundles.append(bundles[-1])
+        if args.device_detect:
+            by_shape: dict[tuple, list] = {}
+            for r in todo:
+                g = cache.load(r.name, "gray")
+                by_shape.setdefault(tuple(g["image_shape"]), []).append(
+                    (r, g["gray"]))
+            groups = [(s, chunk) for s, recs in sorted(by_shape.items())
+                      for chunk in (recs[i:i + args.batch]
+                                    for i in range(0, len(recs), args.batch))]
+        else:
+            groups = [(None, todo[i:i + args.batch])
+                      for i in range(0, len(todo), args.batch)]
+        for gi, (shape, chunk) in enumerate(groups):
             t0 = time.time()
-            out = pipe.process_batch(bundles)
+            if args.device_detect:
+                grays = [g for _, g in chunk]
+                while len(grays) < args.batch:  # pad the last batch
+                    grays.append(grays[-1])
+                out = pipe.process_images(grays)
+                recs = [r for r, _ in chunk]
+            else:
+                bundles = [cache.load(r.name, "lines") for r in chunk]
+                while len(bundles) < args.batch:  # pad the last batch
+                    bundles.append(bundles[-1])
+                out = pipe.process_batch(bundles)
+                recs = chunk
             out = {k: np.asarray(v) for k, v in out.items()}
             dt = time.time() - t0
-            for j, rec in enumerate(chunk):
+            for j, rec in enumerate(recs):
                 cache.save(rec.name, "result",
                            **{k: v[j] for k, v in out.items()})
-            print(f"device batch {i // args.batch}: {len(chunk)} imgs "
-                  f"in {dt:.2f}s ({len(chunk) / dt:.2f} img/s)")
+            print(f"device batch {gi}: {len(recs)} imgs "
+                  f"in {dt:.2f}s ({len(recs) / dt:.2f} img/s)")
 
     # ---- eval loop (identical protocol to the reference) ----
     errors = []
@@ -136,7 +171,9 @@ def main() -> int:
             skipped += 1
             continue
         res = cache.load(rec.name, "result")
-        shape = cache.load(rec.name, "lines")["image_shape"]
+        shape = cache.load(rec.name,
+                           "gray" if args.device_detect
+                           else "lines")["image_shape"]
         est = np.cross(res["hp1"], res["hp2"])
         err = dsets.normalized_horizon_error(
             est, rec.true_horizon, width=int(shape[1]), height=int(shape[0]))

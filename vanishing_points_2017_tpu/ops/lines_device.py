@@ -223,7 +223,7 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
 
 def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
                      max_segments: int, shape: tuple[int, int],
-                     runs_per_row: int = 128):
+                     runs_per_row: int | None = None):
     """Top-k component roots by total gradient mass.
 
     A component's pixels within one image row are contiguous runs, so a
@@ -239,6 +239,11 @@ def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
     Returns (root_label (S,), run_mass (S,), slot_valid (S,)).
     """
     h, w = shape
+    if runs_per_row is None:
+        # scale the per-row record budget with the slot budget: a row can
+        # only exceed this with > max_segments/8 distinct nonzero-mass
+        # runs crossing it, far beyond the densest measured scenes
+        runs_per_row = max(64, max_segments // 8)
     r2 = root.reshape(h, w)
     w2 = wgt.reshape(h, w)
 

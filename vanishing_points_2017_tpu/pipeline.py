@@ -140,7 +140,8 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
 
     Uses the on-device line detector (``ops/lines_device.py``) instead of
     the host C++ LSD, so detection + render + CNN + EM + horizon compile
-    into one XLA program. images: (B, H, W) float in [0, 255].
+    into one XLA program. images: (B, H, W) in [0, 255], uint8 or float
+    (the detector casts on device — ship uint8 to quarter the H2D bytes).
     """
     from .ops.lines_device import detect_segments_device
 
@@ -190,7 +191,26 @@ class Pipeline:
         return {"image_shape": gray.shape, "segments": det["segments"],
                 "nfa": det["nfa"], "l": l, "lp": lp, "lmask": lmask}
 
+    def ingest_image(self, image: np.ndarray | str,
+                     target_size: int | None = None) -> dict:
+        """Load/resize/grayscale only — the device-detector path's host
+        stage (no LSD; detection runs on device in the fused program)."""
+        if isinstance(image, str):
+            image = dio.load_image(image)
+        if target_size is not None:
+            image = dio.resize_max(image, target_size)
+        gray = dio.rgb2gray(image)  # [0, 1] float, skimage-compatible
+        g8 = np.clip(np.round(gray * 255.0), 0, 255).astype(np.uint8)
+        return {"image_shape": gray.shape, "gray": g8}
+
     # ---- fused device stage ----
+
+    def process_images(self, grays: list[np.ndarray]) -> dict:
+        """Zero-host-round-trip batch: grayscale uint8 images (all the
+        same HxW — group mixed-size datasets by shape; each distinct
+        shape compiles its own program) -> full pipeline outputs."""
+        imgs = jnp.asarray(np.stack([np.asarray(g) for g in grays]))
+        return device_pipeline_full(imgs, self.params, self.mean, self.cfg)
 
     def run_lines(self, l, lp, lmask) -> dict:
         out = device_pipeline(jnp.asarray(l), jnp.asarray(lp),
