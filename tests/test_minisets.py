@@ -72,7 +72,8 @@ def _run_benchmark(argv, capsys):
     return float(auc_lines[-1].split()[-1]), out
 
 
-def _seed_skip_results(result_dir, dataset_name, records, start):
+def _seed_skip_results(result_dir, dataset_name, records, start,
+                       key_suffix=""):
     """Write placeholder 'result' entries for the protocol-skipped first 25
     images so the device stage only computes the evaluated tail. The eval
     loop never reads skipped entries; this only saves CI time (the REAL
@@ -81,7 +82,7 @@ def _seed_skip_results(result_dir, dataset_name, records, start):
     from vanishing_points_2017_tpu.pipeline import PipelineConfig
 
     cache = StageCache(os.path.join(result_dir, dataset_name),
-                       PipelineConfig().cache_key())
+                       PipelineConfig().cache_key() + key_suffix)
     for rec in records[:start]:
         cache.save(rec.name, "result",
                    hp1=np.zeros(3), hp2=np.zeros(3))
@@ -125,4 +126,28 @@ def test_benchmark_real_formats_end_to_end(tmp_path, capsys):
         ["--hlw", "--dataset_dir", root, "--result_dir", result_dir,
          "--run_cnn", "--batch", "2", "--no_weights_warn"], capsys)
     assert out.count("max_error:") == 3, out
+    assert auc > threshold, (auc, out)
+
+
+@pytest.mark.slow
+def test_benchmark_device_detect_real_format(tmp_path, capsys):
+    """--device_detect must execute the real-dataset-format path end to
+    end (JPEG decode, on-device detection inside the fused program,
+    .mat GT) and land in the same AUC regime as the host-LSD path."""
+    from vanishing_points_2017_tpu import weights as wload
+
+    trained = os.path.isfile(wload.default_weights_path())
+    threshold = 0.7 if trained else 0.2
+
+    result_dir = str(tmp_path / "results")
+    root = str(tmp_path / "yud")
+    minisets.make_mini_yud(root, n_eval=2)
+    recs, start = dsets.yud_records(root)
+    _seed_skip_results(result_dir, "york", recs, start,
+                       key_suffix="_devdet")
+    auc, out = _run_benchmark(
+        ["--yud", "--dataset_dir", root, "--result_dir", result_dir,
+         "--run_cnn", "--batch", "2", "--no_weights_warn",
+         "--device_detect"], capsys)
+    assert out.count("max_error:") == 2, out
     assert auc > threshold, (auc, out)
