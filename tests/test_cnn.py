@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from vanishing_points_2017_tpu.models import cnn, train, caffe_import
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_range():
     rng = jax.random.PRNGKey(0)
     params = cnn.init_params(rng, input_size=250)
@@ -68,6 +69,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0]  # memorizes a 2-sample batch quickly
 
 
+@pytest.mark.slow
 def test_learning_rate_schedule():
     np.testing.assert_allclose(float(train.learning_rate(jnp.asarray(0))),
                                train.BASE_LR, rtol=1e-6)

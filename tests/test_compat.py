@@ -75,6 +75,7 @@ def test_run_em_single_compact_contract():
         assert (out["vp_assoc"] == k).sum() == out["counts"][k]
 
 
+@pytest.mark.slow
 def test_run_em_single_empty_contract():
     out = compat.run_em_single(np.zeros((0, 3)), np.zeros((0, 4)),
                                np.zeros((20, 20), np.float32),

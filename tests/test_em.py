@@ -56,6 +56,7 @@ def test_em_recovers_manhattan_vps():
     assert counts.max() >= 15
 
 
+@pytest.mark.slow
 def test_em_then_horizon_error_small():
     scene, (l, lp, cnn, img, lmask) = build_inputs(seed=2)
     res = expectation_maximisation(l, lp, cnn, img, lmask, EMConfig())

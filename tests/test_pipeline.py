@@ -126,6 +126,7 @@ def test_device_detector_finds_scene_lines():
     assert np.median(ds) < 2.5 * 2 / 640, np.median(ds)
 
 
+@pytest.mark.slow
 def test_device_detector_endpoint_parity():
     """The CCL detector must localize endpoints, not just support lines
     (the round-1 Hough formulation had ~0.48 fused AUC from bad spans)."""

@@ -50,6 +50,7 @@ def test_dryrun_multichip_full():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import importlib.util
     import os
