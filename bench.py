@@ -88,14 +88,29 @@ def main() -> int:
     # server-side first-execution setup that the local persistent cache
     # cannot avoid, so bench compiles as few programs as possible.
     imgs_dev0 = jnp.asarray(imgs_host)
-    t0 = time.time()
-    full = (jax.jit(lambda im: device_pipeline_full(im, pipe.params,
-                                                    pipe.mean, cfg))
-            .lower(imgs_dev0).compile())
-    compile_full_s = time.time() - t0
-    t0 = time.time()
-    readback(full(imgs_dev0))
-    first_exec_s = time.time() - t0  # includes the axon server setup
+
+    # The axon tunnel sporadically drops long remote_compile connections
+    # (broken pipe) and needs a few minutes to recover after a failure —
+    # retry instead of losing the whole bench run.
+    last_err = None
+    for attempt in range(3):
+        try:
+            t0 = time.time()
+            full = (jax.jit(lambda im: device_pipeline_full(
+                im, pipe.params, pipe.mean, cfg))
+                .lower(imgs_dev0).compile())
+            compile_full_s = time.time() - t0
+            t0 = time.time()
+            readback(full(imgs_dev0))
+            first_exec_s = time.time() - t0  # includes axon server setup
+            break
+        except Exception as e:  # transport errors surface as JaxRuntimeError
+            last_err = e
+            sys.stderr.write(f"bench: compile attempt {attempt + 1} "
+                             f"failed ({e}); retrying in 240s\n")
+            time.sleep(240)
+    else:
+        raise last_err
     t0 = time.time()
     for _ in range(iters):
         readback(full(jnp.asarray(imgs_host)))  # includes H2D each iter

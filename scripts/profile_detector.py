@@ -62,10 +62,18 @@ def main() -> int:
 
     def upto_select(image):
         active, ux, uy, mag = front(image)
+        hh, ww = active.shape
         root = ld._connected_components(active, ux, uy, cos_tol, 8)
-        wgt = jnp.where(active.reshape(-1), mag.reshape(-1) / 255.0, 0.0)
-        rl, rm, sv = ld._run_mass_select(root, wgt, 512, active.shape)
-        return jnp.sum(rl) + jnp.sum(rm)
+        wgt = jnp.where(active, mag / 255.0, 0.0)
+        sc = max(image.shape) / 2.0
+        ys_i, xs_i = jnp.meshgrid(jnp.arange(hh, dtype=jnp.float32),
+                                  jnp.arange(ww, dtype=jnp.float32),
+                                  indexing="ij")
+        xn2 = ((xs_i + 0.5) - image.shape[1] / 2.0) / sc
+        yn2 = -((ys_i + 0.5) - image.shape[0] / 2.0) / sc
+        st = ld._component_stats(root, wgt.reshape(-1), xn2, yn2, 512,
+                                 (hh, ww))
+        return st["mass"].sum() + st["tmax"].sum()
 
     def bench(name, fn, *args):
         f = jax.jit(jax.vmap(fn))

@@ -280,3 +280,79 @@ def test_process_batch_mixed_buckets():
     out = pipe.process_batch([b1, b2])
     assert np.asarray(out["hp1"]).shape == (2, 3)
     assert np.isfinite(np.asarray(out["hp1"])).all()
+
+
+@pytest.mark.slow
+def test_component_stats_match_numpy_oracle():
+    """Record-based component selection/moments/extremal projections must
+    match an exact per-pixel numpy group-by for every component that can
+    pass the min_count gate (tiny 3-5 px components may diverge in
+    direction from f32 covariance cancellation; they are gated out)."""
+    import collections
+    import math as _math
+
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops import lines_device as ld
+
+    active, ux, uy, cos_tol = _detector_edge_graph(0, 320)
+    hh, ww = active.shape
+    root = ld._connected_components(active, ux, uy, cos_tol, 8)
+    # reconstruct the detector's pixel tables
+    h, w = hh + 1, ww + 1
+    s = max(h, w) / 2.0
+    ys_i, xs_i = np.meshgrid(np.arange(hh, dtype=np.float32),
+                             np.arange(ww, dtype=np.float32), indexing="ij")
+    xn2 = ((xs_i + 0.5) - w / 2.0) / s
+    yn2 = -((ys_i + 0.5) - h / 2.0) / s
+    # mirror the magnitude used for weights
+    mag = np.hypot(np.asarray(ux), np.asarray(uy))  # unit where active
+    wgt = np.where(np.asarray(active), 0.3 + 0.7 * mag, 0.0).reshape(-1)
+
+    S = 256
+    st = ld._component_stats(jnp.asarray(root), jnp.asarray(wgt),
+                             jnp.asarray(xn2), jnp.asarray(yn2), S,
+                             (hh, ww))
+    st = {k: np.asarray(v) for k, v in st.items()}
+
+    r = np.asarray(root)
+    x, y = xn2.reshape(-1), yn2.reshape(-1)
+    agg = collections.defaultdict(lambda: np.zeros(7))
+    members = collections.defaultdict(list)
+    for i in range(r.size):
+        if wgt[i] > 0:
+            agg[r[i]] += np.array([wgt[i], wgt[i] * x[i], wgt[i] * y[i],
+                                   wgt[i] * x[i] * x[i],
+                                   wgt[i] * x[i] * y[i],
+                                   wgt[i] * y[i] * y[i], 1.0])
+            members[r[i]].append(i)
+
+    oracle_top = set(k for k, _ in sorted(
+        agg.items(), key=lambda kv: -kv[1][0])[:S])
+    got = set(st["root"][st["valid"]].tolist())
+    assert got == oracle_top
+
+    checked = 0
+    for j in range(int(st["valid"].sum())):
+        a = agg[int(st["root"][j])]
+        if a[6] < 15:
+            continue
+        sw = a[0]
+        assert abs(sw - st["mass"][j]) / sw < 1e-5
+        assert a[6] == st["cnt"][j]
+        cxo, cyo = a[1] / sw, a[2] / sw
+        assert abs(cxo - st["cx"][j]) < 1e-5
+        vxx = a[3] / sw - cxo * cxo
+        vxy = a[4] / sw - cxo * cyo
+        vyy = a[5] / sw - cyo * cyo
+        lam = 0.5 * (vxx + vyy) + _math.sqrt(max(
+            0.25 * (vxx + vyy) ** 2 - (vxx * vyy - vxy * vxy), 0))
+        evec = (np.array([vxy, lam - vxx]) if abs(vxy) > 1e-16
+                else np.array([1.0, 0.0]))
+        evec = evec / np.linalg.norm(evec)
+        assert abs(evec @ np.array([st["ddx"][j], st["ddy"][j]])) > 1 - 1e-4
+        mem = members[int(st["root"][j])]
+        t = evec[0] * x[mem] + evec[1] * y[mem]
+        assert abs((t.max() - t.min())
+                   - (st["tmax"][j] - st["tmin"][j])) < 1e-4
+        checked += 1
+    assert checked > 50

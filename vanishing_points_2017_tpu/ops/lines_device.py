@@ -15,13 +15,15 @@ reformulated as data-parallel passes with static shapes:
    bidirectional segmented min scans inside each row) — exact in two
    passes for digital straight lines and free of the (H*W)-element random
    gathers that made pointer jumping slow on TPU.
-3. Component selection: per-component gradient mass via one sort + segmented
-   cumsum (no scatters), top-k components become segment candidates.
-4. Exact per-component moments via chunked membership matmuls (MXU work):
-   centroid + covariance give the principal direction (LSD's region2rect),
-   min/max projections along it give the endpoints — the true extremal
-   span, not a variance estimate (fixes the w^2-span shrinkage of the
-   earlier Hough formulation).
+3. Component selection + exact moments + endpoints from per-row RUN
+   RECORDS: a component's pixels in one row are contiguous runs, so
+   segmented row scans produce per-run mass/moment/endpoint records;
+   per-row top-k compresses the grid ~10x before the single sort-by-root,
+   and segmented doubling sums reduce each group's moments. Centroid +
+   covariance give the principal direction (LSD's region2rect); min/max
+   projections over run ENDPOINTS (the projection is linear in the
+   column, so per-run extrema sit at endpoints — exact) give the true
+   extremal span, not a variance estimate.
 5. Validation: an NFA gate in the spirit of LSD's binomial test — the
    Hoeffding bound on log10 B(area, count, p) with p = tol/pi and the
    (HW)^(5/2) test count — plus minimum count/length gates.
@@ -221,22 +223,66 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
     return lab.reshape(-1)
 
 
-def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
-                     max_segments: int, shape: tuple[int, int],
-                     runs_per_row: int | None = None):
-    """Top-k component roots by total gradient mass.
+def _segmented_sum_scan(v: jnp.ndarray, conn: jnp.ndarray,
+                        log_steps: int) -> jnp.ndarray:
+    """Per-segment inclusive prefix SUM along the last axis (leading axes
+    vectorized). conn[..., x] means x joins x-1. Error stays proportional
+    to each segment's own magnitude (no cross-segment cumsum-difference
+    cancellation)."""
+    m = conn
+    for k in range(log_steps):
+        d = 1 << k
+        pads = [(0, 0)] * (v.ndim - 1) + [(d, 0)]
+        v_sh = jnp.pad(v[..., :-d], pads)
+        m_sh = jnp.pad(m[..., :-d], [(0, 0)] * (m.ndim - 1) + [(d, 0)],
+                       constant_values=False)
+        v = jnp.where(m, v + v_sh, v)
+        m = m & m_sh
+    return v
 
-    A component's pixels within one image row are contiguous runs, so a
-    per-row segmented sum scan (dense, no sort/scatter) yields per-run
-    masses at run ends.  Per-row top-``runs_per_row`` compresses the
-    (H, W) grid to H*runs_per_row run records; only those are sorted by
-    root and reduce-by-key'd into component totals — a ~6x smaller sort
-    than the full per-pixel argsort this replaces (10.6 -> ~2 ms/img on
-    v5e).  Exact unless a row holds more than ``runs_per_row`` runs of
-    nonzero mass, in which case that row's weakest runs stop counting
-    toward their components' ranking mass (the components themselves
-    survive through their other rows; per-slot moments stay exact).
-    Returns (root_label (S,), run_mass (S,), slot_valid (S,)).
+
+def _segmented_copy_first(v: jnp.ndarray, conn: jnp.ndarray,
+                          log_steps: int) -> jnp.ndarray:
+    """Broadcast each segment's FIRST value to all its members (last
+    axis; leading axes vectorized)."""
+    m = conn
+    for k in range(log_steps):
+        d = 1 << k
+        pads = [(0, 0)] * (v.ndim - 1) + [(d, 0)]
+        v_sh = jnp.pad(v[..., :-d], pads)
+        m_sh = jnp.pad(m[..., :-d], [(0, 0)] * (m.ndim - 1) + [(d, 0)],
+                       constant_values=False)
+        v = jnp.where(m, v_sh, v)
+        m = m & m_sh
+    return v
+
+
+def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
+                     yn2: jnp.ndarray, max_segments: int,
+                     shape: tuple[int, int],
+                     runs_per_row: int | None = None):
+    """Top-k components by gradient mass, with exact moments + extremal
+    projections — all from per-row RUN RECORDS, never a per-pixel
+    sort/scatter/membership pass.
+
+    A component's pixels within one image row are contiguous runs, so
+    per-row segmented scans (dense vector work) produce each run's mass,
+    weighted moments (w, wx, wy, wxx, wxy, wyy, count) and endpoint
+    coordinates at its last pixel. Per-row top-``runs_per_row`` (by run
+    mass) compresses the grid to H*k records; those are sorted by root
+    once, reduced per group by segmented doubling sums, and each group's
+    principal direction (from its own total moments) is broadcast back
+    to its records so the extremal projections — whose per-run extrema
+    provably sit at run endpoints (the projection is linear in the
+    column) — reduce by segmented min/max. Everything downstream of the
+    sort is O(H * runs_per_row), ~10x smaller than per-pixel.
+
+    Exact unless a row holds more than ``runs_per_row`` nonzero-mass
+    runs, in which case that row's weakest runs stop contributing (the
+    components survive through their other rows' records).
+
+    Returns a dict of per-slot arrays (all shaped (max_segments,)):
+    ``valid, mass, cnt, cx, cy, ddx, ddy, lam_min, tmin, tmax``.
     """
     h, w = shape
     if runs_per_row is None:
@@ -244,56 +290,109 @@ def _run_mass_select(root: jnp.ndarray, wgt: jnp.ndarray,
         # only exceed this with > max_segments/8 distinct nonzero-mass
         # runs crossing it, far beyond the densest measured scenes
         runs_per_row = max(64, max_segments // 8)
+    f32 = jnp.float32
     r2 = root.reshape(h, w)
     w2 = wgt.reshape(h, w)
 
-    # per-row segmented sum scan: run totals materialize at run ends
+    # ---- per-row run scans
     conn = jnp.concatenate(
         [jnp.zeros((h, 1), bool), r2[:, 1:] == r2[:, :-1]], axis=1)
-    v, m = w2, conn
-    for k in range(max(1, math.ceil(math.log2(w)))):
-        d = 1 << k
-        v_sh = jnp.pad(v[:, :-d], ((0, 0), (d, 0)))
-        m_sh = jnp.pad(m[:, :-d], ((0, 0), (d, 0)), constant_values=False)
-        v = jnp.where(m, v + v_sh, v)
-        m = m & m_sh
     is_end = jnp.concatenate(
         [r2[:, 1:] != r2[:, :-1], jnp.ones((h, 1), bool)], axis=1)
-    rec_mass_row = jnp.where(is_end, v, -1.0)
+    log_w = max(1, math.ceil(math.log2(w)))
+    q = jnp.stack([w2, w2 * xn2, w2 * yn2, w2 * xn2 * xn2, w2 * xn2 * yn2,
+                   w2 * yn2 * yn2, (w2 > 0).astype(f32)], axis=0)  # (7,H,W)
+    qs = _segmented_sum_scan(q, conn[None], log_w)
+    x_first = _segmented_copy_first(xn2, conn, log_w)
 
+    # ---- per-row top-k run records
     k_row = min(runs_per_row, w)
-    top_mass, top_pos = jax.lax.top_k(rec_mass_row, k_row)   # (H, k)
-    top_root = jnp.take_along_axis(r2, top_pos, axis=1)
-    rec_mass = jnp.maximum(top_mass, 0.0).reshape(-1)
-    rec_root = jnp.where(top_mass > 0.0, top_root, -1).reshape(-1)
+    mass_row = jnp.where(is_end, qs[0], -1.0)
+    top_mass, top_pos = jax.lax.top_k(mass_row, k_row)       # (H, k)
+    take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
+    rec_ok = top_mass > 0.0
+    rec_root = jnp.where(rec_ok, take(r2), -1).reshape(-1)
+    rec_q = [jnp.where(rec_ok, take(qs[i]), 0.0).reshape(-1)
+             for i in range(7)]
+    rec_x0 = take(x_first).reshape(-1)
+    rec_x1 = take(xn2).reshape(-1)
+    rec_y = take(yn2).reshape(-1)
 
-    # reduce-by-key over the compressed records
-    rs, ws = jax.lax.sort([rec_root, rec_mass], num_keys=1)
-    cw = jnp.cumsum(ws)
-    n = rs.shape[0]
-    nxt = jnp.concatenate([rs[1:], jnp.full((1,), -2, rs.dtype)])
-    grp_end = rs != nxt
-    prv = jnp.concatenate([jnp.full((1,), -2, rs.dtype), rs[:-1]])
-    grp_start = rs != prv
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jax.lax.cummax(jnp.where(grp_start, idx, 0))
-    before = jnp.where(start_idx > 0, cw[jnp.maximum(start_idx - 1, 0)], 0.0)
-    total = cw - before  # exact at group ends, which is all we read
+    # ---- one sort by root groups each component's records contiguously
+    srt = jax.lax.sort([rec_root, *rec_q, rec_x0, rec_x1, rec_y],
+                       num_keys=1)
+    rs = srt[0]
+    sq = jnp.stack(srt[1:8], axis=0)                          # (7, R)
+    sx0, sx1, sy = srt[8], srt[9], srt[10]
+    n_rec = rs.shape[0]
+    log_r = max(1, math.ceil(math.log2(n_rec)))
+    gconn = jnp.concatenate(
+        [jnp.zeros((1,), bool), rs[1:] == rs[:-1]])
+    g_end = jnp.concatenate([rs[1:] != rs[:-1], jnp.ones((1,), bool)])
 
-    score = jnp.where(grp_end & (rs >= 0), total, -1.0)
+    gsum = _segmented_sum_scan(sq, gconn[None], log_r)        # (7, R)
+    s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_cnt = [
+        gsum[i] for i in range(7)]
+
+    # ---- moments -> principal direction (meaningful at group ends)
+    sw = jnp.maximum(s_w, 1e-9)
+    cx, cy = s_wx / sw, s_wy / sw
+    vxx = jnp.maximum(s_wxx / sw - cx * cx, 0.0)
+    vxy = s_wxy / sw - cx * cy
+    vyy = jnp.maximum(s_wyy / sw - cy * cy, 0.0)
+    tr = vxx + vyy
+    det = vxx * vyy - vxy * vxy
+    lam_max = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    lam_min = jnp.maximum(tr - lam_max, 0.0)
+    # both (vxy, lam-vxx) and (lam-vyy, vxy) are eigenvectors of lam_max;
+    # pick the larger — an |vxy|>eps branch sends exactly-vertical
+    # components (f32 vxy == 0) to the degenerate vector and then to the
+    # (1, 0) fallback, i.e. a 90-degree-wrong direction
+    ex_a, ey_a = vxy, lam_max - vxx
+    ex_b, ey_b = lam_max - vyy, vxy
+    use_a = ex_a * ex_a + ey_a * ey_a >= ex_b * ex_b + ey_b * ey_b
+    ex = jnp.where(use_a, ex_a, ex_b)
+    ey = jnp.where(use_a, ey_a, ey_b)
+    en = jnp.sqrt(ex * ex + ey * ey)
+    ok_e = en > 1e-12
+    ddx = jnp.where(ok_e, ex / jnp.where(ok_e, en, 1.0), 1.0)
+    ddy = jnp.where(ok_e, ey / jnp.where(ok_e, en, 1.0), 0.0)
+
+    # ---- broadcast each group's END direction back to its records
+    same_next = jnp.concatenate([rs[:-1] == rs[1:], jnp.zeros((1,), bool)])
+    flip_conn = same_next[::-1]
+    ddx_b = _segmented_copy_first(ddx[::-1], flip_conn, log_r)[::-1]
+    ddy_b = _segmented_copy_first(ddy[::-1], flip_conn, log_r)[::-1]
+
+    # ---- extremal projections: per-run extrema sit at run endpoints
+    t0 = ddx_b * sx0 + ddy_b * sy
+    t1 = ddx_b * sx1 + ddy_b * sy
+    inf = jnp.where(rs >= 0, 0.0, jnp.inf)  # invalid records can't win
+    gmin = _segmented_min_scan_rows(
+        jnp.minimum(t0, t1) + inf, gconn, log_r)
+    gmax = -_segmented_min_scan_rows(
+        -jnp.maximum(t0, t1) + inf, gconn, log_r)
+
+    # ---- top-k components by total mass (group ends only)
+    score = jnp.where(g_end & (rs >= 0), gsum[0], -1.0)
     top, pos = jax.lax.top_k(score, max_segments)
-    return rs[pos], top, top > 0.0
+    sel = lambda a: a[pos]
+    return {
+        "valid": top > 0.0, "root": sel(rs), "mass": sel(s_w),
+        "cnt": sel(s_cnt),
+        "cx": sel(cx), "cy": sel(cy), "ddx": sel(ddx), "ddy": sel(ddy),
+        "lam_min": sel(lam_min), "tmin": sel(gmin), "tmax": sel(gmax),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("max_segments", "tol_deg",
                                              "min_count", "min_len_px",
-                                             "ccl_passes", "chunk",
+                                             "ccl_passes",
                                              "blur_sigma", "pair_tol_factor"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 10.0,
                            ccl_passes: int = 8,
-                           chunk: int = 8192,
                            blur_sigma: float = 1.0,
                            pair_tol_factor: float = 1.0):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
@@ -337,79 +436,22 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     ys_i, xs_i = jnp.meshgrid(jnp.arange(hi, dtype=jnp.float32),
                               jnp.arange(wi, dtype=jnp.float32),
                               indexing="ij")
-    xn = ((xs_i + 0.5) - w / 2.0) / s   # 2x2 support centre
-    yn = -((ys_i + 0.5) - h / 2.0) / s
-    xn = xn.reshape(-1)
-    yn = yn.reshape(-1)
-    act = active.reshape(-1)
-    wgt = jnp.where(act, mag.reshape(-1) / 255.0, 0.0)
+    xn2 = ((xs_i + 0.5) - w / 2.0) / s   # 2x2 support centre
+    yn2 = -((ys_i + 0.5) - h / 2.0) / s
+    wgt = jnp.where(active, mag / 255.0, 0.0)
 
-    root_label, _, slot_valid = _run_mass_select(root, wgt, max_segments,
-                                                 (hi, wi))
-
-    # ---- pass A: exact component moments via chunked membership matmuls
-    pad = (-npix) % chunk
-    def padv(v, fill=0):
-        return (jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)])
-                if pad else v)
-    xs_p, ys_p, w_p = padv(xn), padv(yn), padv(wgt)
-    root_p = padv(root, fill=-1)
-    n_chunks = xs_p.shape[0] // chunk
-
-    def pass_a(m, idx):
-        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk)
-        x, y, w0, r = sl(xs_p), sl(ys_p), sl(w_p), sl(root_p)
-        member = (r[None, :] == root_label[:, None])  # (S, C)
-        wmat = jnp.where(member, w0[None, :], 0.0)
-        basis = jnp.stack([jnp.ones_like(x), x, y, x * x, x * y, y * y],
-                          axis=-1)
-        cnt = jnp.sum(member & (w0 > 0)[None, :], axis=1)  # raw pixel count
-        return m + jnp.concatenate(
-            [wmat @ basis, cnt[:, None].astype(jnp.float32)], axis=-1), None
-
-    m0 = jnp.zeros((max_segments, 7), jnp.float32)
-    moments, _ = jax.lax.scan(pass_a, m0, jnp.arange(n_chunks))
-    s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_cnt = [
-        moments[:, i] for i in range(7)]
-
-    sw = jnp.maximum(s_w, 1e-9)
-    cx, cy = s_wx / sw, s_wy / sw
-    vxx = jnp.maximum(s_wxx / sw - cx * cx, 0.0)
-    vxy = s_wxy / sw - cx * cy
-    vyy = jnp.maximum(s_wyy / sw - cy * cy, 0.0)
-    # principal axis of the weighted covariance (LSD's region direction)
-    tr = vxx + vyy
-    det = vxx * vyy - vxy * vxy
-    lam_max = 0.5 * tr + jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-    lam_min = jnp.maximum(tr - lam_max, 0.0)
-    ex = jnp.where(jnp.abs(vxy) > 1e-16, vxy, lam_max - vyy)
-    ey = jnp.where(jnp.abs(vxy) > 1e-16, lam_max - vxx, jnp.zeros_like(tr))
-    en = jnp.sqrt(ex * ex + ey * ey)
-    ok_e = en > 1e-12
-    ddx = jnp.where(ok_e, ex / jnp.where(ok_e, en, 1.0), 1.0)
-    ddy = jnp.where(ok_e, ey / jnp.where(ok_e, en, 1.0), 0.0)
-
-    # ---- pass B: extremal projections along the principal axis -> endpoints
-    def pass_b(carry, idx):
-        tmin, tmax = carry
-        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, idx * chunk, chunk)
-        x, y, w0, r = sl(xs_p), sl(ys_p), sl(w_p), sl(root_p)
-        member = (r[None, :] == root_label[:, None]) & (w0 > 0)[None, :]
-        t = ddx[:, None] * x[None, :] + ddy[:, None] * y[None, :]
-        tmin = jnp.minimum(tmin, jnp.min(
-            jnp.where(member, t, jnp.inf), axis=1))
-        tmax = jnp.maximum(tmax, jnp.max(
-            jnp.where(member, t, -jnp.inf), axis=1))
-        return (tmin, tmax), None
-
-    (tmin, tmax), _ = jax.lax.scan(
-        pass_b, (jnp.full((max_segments,), jnp.inf),
-                 jnp.full((max_segments,), -jnp.inf)),
-        jnp.arange(n_chunks))
+    # ---- component selection + exact moments + extremal projections,
+    # all via per-row run records (no per-pixel sort/scatter/membership)
+    st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
+                          (hi, wi))
+    slot_valid = st["valid"]
+    s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
+    ddx, ddy = st["ddx"], st["ddy"]
+    tmin, tmax = st["tmin"], st["tmax"]
 
     span = jnp.maximum(tmax - tmin, 0.0)           # normalized units
     span_px = span * s
-    width_px = jnp.sqrt(12.0 * lam_min) * s        # rectangle thickness
+    width_px = jnp.sqrt(12.0 * st["lam_min"]) * s  # rectangle thickness
 
     # ---- NFA-style validation (Hoeffding bound on LSD's binomial test)
     p_align = tol_deg / 180.0
