@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--paths", default="host,full",
                     help="comma list: host, full, ideal")
+    ap.add_argument("--em_kernel", default="xla",
+                    help="EM plain-phase backend: xla | pallas")
     args = ap.parse_args()
 
     if args.device:
@@ -53,6 +55,11 @@ def main() -> int:
     from vanishing_points_2017_tpu import weights as wload
 
     cfg = PipelineConfig()
+    if args.em_kernel != "xla":
+        import dataclasses
+        from vanishing_points_2017_tpu.em import EMConfig
+        cfg = dataclasses.replace(
+            cfg, em=dataclasses.replace(cfg.em, kernel=args.em_kernel))
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
     paths = args.paths.split(",")
