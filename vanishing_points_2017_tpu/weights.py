@@ -51,8 +51,16 @@ def params_from_npz(path: str, with_step: bool = False):
 
 
 def default_weights_path() -> str:
+    """Dense retrained weights when present (~1 GB, gitignored), else the
+    VERSIONED factorized float16 artifact (assets/weights_compact.npz,
+    rank-256 fc6/fc7 via scripts/compress_weights.py; synthetic AUC
+    0.9737 vs 0.9764 dense) so a fresh clone runs at full quality with
+    no retrain."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(here, "assets", "weights.npz")
+    dense = os.path.join(here, "assets", "weights.npz")
+    if os.path.isfile(dense):
+        return dense
+    return os.path.join(here, "assets", "weights_compact.npz")
 
 
 def default_mean_path() -> str:
