@@ -83,37 +83,77 @@ def main() -> int:
         return float(jnp.sum(out["hp1"]))
 
     # ---- headline: end-to-end incl. detection + H2D transfer ----
-    # One lowered+compiled executable serves timing AND cost analysis: on
-    # the axon platform every distinct jitted program pays a 2-10 min
-    # server-side first-execution setup that the local persistent cache
-    # cannot avoid, so bench compiles as few programs as possible.
+    # Two orchestration modes, both timing the SAME work (image in ->
+    # horizon out, detection on device):
+    #   BENCH_FUSED=1  one XLA program (device_pipeline_full). The design
+    #                  flagship, but the axon remote-compiler has hung
+    #                  >40 min on this composition twice, so it is opt-in.
+    #   default        two chained programs — detect (+to-homogeneous) and
+    #                  lines->horizon — intermediates stay on device; the
+    #                  only extra cost is one more dispatch per batch.
+    # One lowered+compiled executable per program serves timing AND cost
+    # analysis: on axon every distinct jitted program pays a server-side
+    # first-execution setup that the local persistent cache cannot avoid.
     imgs_dev0 = jnp.asarray(imgs_host)
+    fused_mode = os.environ.get("BENCH_FUSED", "0") == "1"
+
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+    from vanishing_points_2017_tpu.ops import lines as lineops
+
+    def detect_stage(ims):
+        def one(img):
+            lp_d, lm_d = detect_segments_device(img,
+                                                max_segments=cfg.n_pad)
+            l_d = jnp.where(lm_d[:, None],
+                            lineops.segments_to_homogeneous(lp_d), 0.0)
+            return l_d, lp_d, lm_d
+        return jax.vmap(one)(ims)
 
     # The axon tunnel sporadically drops long remote_compile connections
     # (broken pipe) and needs a few minutes to recover after a failure —
     # retry instead of losing the whole bench run.
-    last_err = None
-    for attempt in range(3):
-        try:
-            t0 = time.time()
-            full = (jax.jit(lambda im: device_pipeline_full(
-                im, pipe.params, pipe.mean, cfg))
-                .lower(imgs_dev0).compile())
-            compile_full_s = time.time() - t0
-            t0 = time.time()
-            readback(full(imgs_dev0))
-            first_exec_s = time.time() - t0  # includes axon server setup
-            break
-        except Exception as e:  # transport errors surface as JaxRuntimeError
-            last_err = e
-            sys.stderr.write(f"bench: compile attempt {attempt + 1} "
-                             f"failed ({e}); retrying in 240s\n")
-            time.sleep(240)
-    else:
+    def with_retry(build):
+        last_err = None
+        for attempt in range(3):
+            try:
+                return build()
+            except Exception as e:  # transport errors -> JaxRuntimeError
+                last_err = e
+                sys.stderr.write(f"bench: compile attempt {attempt + 1} "
+                                 f"failed ({e}); retrying in 240s\n")
+                time.sleep(240)
         raise last_err
+
+    t0 = time.time()
+    if fused_mode:
+        full = with_retry(lambda: jax.jit(
+            lambda im: device_pipeline_full(im, pipe.params, pipe.mean,
+                                            cfg)).lower(imgs_dev0).compile())
+        programs = [full]
+
+        def run_e2e(ims):
+            return full(ims)
+    else:
+        det_prog = with_retry(lambda: jax.jit(detect_stage)
+                              .lower(imgs_dev0).compile())
+        l0, lp0, m0 = det_prog(imgs_dev0)
+        post_prog = with_retry(lambda: jax.jit(
+            lambda a, b, c: device_pipeline_batch(
+                a, b, c, pipe.params, pipe.mean, cfg))
+            .lower(l0, lp0, m0).compile())
+        programs = [det_prog, post_prog]
+
+        def run_e2e(ims):
+            a, b, c = det_prog(ims)
+            return post_prog(a, b, c)
+    compile_full_s = time.time() - t0
+    t0 = time.time()
+    readback(run_e2e(imgs_dev0))
+    first_exec_s = time.time() - t0  # includes the axon server setup
     t0 = time.time()
     for _ in range(iters):
-        readback(full(jnp.asarray(imgs_host)))  # includes H2D each iter
+        readback(run_e2e(jnp.asarray(imgs_host)))  # includes H2D each iter
     dt_full = time.time() - t0
     e2e_ips = batch * iters / dt_full
 
@@ -140,14 +180,16 @@ def main() -> int:
     det = dio.detect_lsd_lines(imgs_np[0].astype(np.float64))
     lsd_s = time.time() - t0
 
-    # ---- MFU estimate from XLA's own cost analysis (same executable) ----
+    # ---- MFU estimate from XLA's own cost analysis (same executables) ----
     mfu = None
     flops_per_img = None
     try:
-        cost = full.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = 0.0
+        for prog in programs:
+            cost = prog.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops += float(cost.get("flops", 0.0))
         if flops > 0:
             flops_per_img = flops / batch
             peak = float(os.environ.get("BENCH_PEAK_FLOPS", "197e12"))
@@ -175,6 +217,7 @@ def main() -> int:
                           "BASELINE.md)"),
         "breakdown": {
             "includes_detection": True,
+            "orchestration": "fused" if fused_mode else "two_program",
             "image_size": size,
             "batch": batch,
             "fused_device_images_per_sec":

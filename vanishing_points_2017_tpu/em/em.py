@@ -77,6 +77,12 @@ class EMConfig:
     # iteration count. Falls back to "xla" automatically for distance
     # measures the kernel does not implement.
     kernel: str = "xla"
+    # Loop structure. "uniform" = one while_loop body containing the
+    # gated split/merge (round-1 shape; ~30 s axon compile). "phase" =
+    # [full body + scan of split_merge_freq-1 plain bodies] per trip —
+    # half the E-steps per plain iteration, but the axon remote compiler
+    # has taken >30 min on the phase graph, so robust is the default.
+    loop: str = "uniform"
 
     def __post_init__(self):
         if self.distance_measure == "angle":
@@ -589,6 +595,13 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
                     st, None, length=plain_steps)[0]
         return st
 
-    state = jax.lax.while_loop(cond, phase, state0)
+    if cfg.loop == "uniform" and not use_kernel:
+        # split/merge due-ness is decided inside body by i % freq, so the
+        # uniform loop executes the identical op sequence one iteration
+        # at a time (round-1 structure; see EMConfig.loop)
+        trip = lambda st: body(st, with_split_merge=True)
+    else:
+        trip = phase
+    state = jax.lax.while_loop(cond, trip, state0)
 
     return _finalize(state, pdfpar, l, lp, lmask, lweight, lsim, langles, cfg)
