@@ -95,11 +95,19 @@ def main() -> int:
     # analysis: on axon every distinct jitted program pays a server-side
     # first-execution setup that the local persistent cache cannot avoid.
     imgs_dev0 = jnp.asarray(imgs_host)
-    fused_mode = os.environ.get("BENCH_FUSED", "0") == "1"
+    split = os.environ.get("BENCH_SPLIT", "2")
+    if os.environ.get("BENCH_FUSED", "0") == "1":
+        split = "1"
+    fused_mode = split == "1"
 
     from vanishing_points_2017_tpu.ops.lines_device import (
         detect_segments_device)
     from vanishing_points_2017_tpu.ops import lines as lineops
+    from vanishing_points_2017_tpu.ops import sphere as sphere_mod
+    from vanishing_points_2017_tpu.models import cnn as cnn_mod
+    from vanishing_points_2017_tpu.em import expectation_maximisation
+    from vanishing_points_2017_tpu.em.horizon import (
+        calculate_horizon_and_ortho_vp)
 
     def detect_stage(ims):
         def one(img):
@@ -125,28 +133,78 @@ def main() -> int:
                 time.sleep(240)
         raise last_err
 
+    # CRITICAL: params/mean must be jit ARGUMENTS, never closure
+    # captures — closed-over arrays are embedded into the program as
+    # constants, and shipping a 1 GB dense-weight program through the
+    # axon tunnel is precisely what made every composition "compile"
+    # forever (the committed 43 MB factorized weights compile in ~30 s
+    # either way, but arguments are correct for any artifact).
+    wparams = jax.tree.map(jnp.asarray, pipe.params)
+    wmean = pipe.mean
+
     t0 = time.time()
     if fused_mode:
         full = with_retry(lambda: jax.jit(
-            lambda im: device_pipeline_full(im, pipe.params, pipe.mean,
-                                            cfg)).lower(imgs_dev0).compile())
+            lambda im, pp, mm: device_pipeline_full(im, pp, mm, cfg))
+            .lower(imgs_dev0, wparams, wmean).compile())
         programs = [full]
 
         def run_e2e(ims):
-            return full(ims)
-    else:
+            return full(ims, wparams, wmean)
+    elif split == "2":
         det_prog = with_retry(lambda: jax.jit(detect_stage)
                               .lower(imgs_dev0).compile())
         l0, lp0, m0 = det_prog(imgs_dev0)
         post_prog = with_retry(lambda: jax.jit(
-            lambda a, b, c: device_pipeline_batch(
-                a, b, c, pipe.params, pipe.mean, cfg))
-            .lower(l0, lp0, m0).compile())
+            lambda a, b, c, pp, mm: device_pipeline_batch(
+                a, b, c, pp, mm, cfg))
+            .lower(l0, lp0, m0, wparams, wmean).compile())
         programs = [det_prog, post_prog]
 
         def run_e2e(ims):
             a, b, c = det_prog(ims)
-            return post_prog(a, b, c)
+            return post_prog(a, b, c, wparams, wmean)
+    else:
+        # BENCH_SPLIT=3: detect / render+CNN / EM+horizon — the smallest
+        # programs (each compiles in seconds-to-~1 min even when the
+        # axon compile service starves on larger compositions); costs
+        # two extra dispatches per batch
+        cdtype = jnp.dtype(cfg.cnn_dtype).type
+
+        def render_cnn(l_b, m_b, pp, mm):
+            def one(a, b):
+                img_u8 = sphere_mod.sphere_image_uint8(
+                    a, b, size=cfg.sphere_size)
+                return img_u8
+            img_u8 = jax.vmap(one)(l_b, m_b)
+            x = cnn_mod.preprocess(img_u8, mm)
+            pred = cnn_mod.forward(pp, x, compute_dtype=cdtype)
+            return img_u8, pred
+
+        def em_horizon(l_b, lp_b, m_b, img_u8, pred):
+            def one(a, b, c, im, pr):
+                em = expectation_maximisation(
+                    a, b, pr, im.astype(jnp.float32), c, cfg.em)
+                hp1, hp2, *_ = calculate_horizon_and_ortho_vp(
+                    em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
+                    theta_vmin=cfg.theta_vmin)
+                return {"hp1": hp1, "hp2": hp2}
+            return jax.vmap(one)(l_b, lp_b, m_b, img_u8, pred)
+
+        det_prog = with_retry(lambda: jax.jit(detect_stage)
+                              .lower(imgs_dev0).compile())
+        l0, lp0, m0 = det_prog(imgs_dev0)
+        rc_prog = with_retry(lambda: jax.jit(render_cnn)
+                             .lower(l0, m0, wparams, wmean).compile())
+        i0, p0 = rc_prog(l0, m0, wparams, wmean)
+        eh_prog = with_retry(lambda: jax.jit(em_horizon)
+                             .lower(l0, lp0, m0, i0, p0).compile())
+        programs = [det_prog, rc_prog, eh_prog]
+
+        def run_e2e(ims):
+            a, b, c = det_prog(ims)
+            iu, pr = rc_prog(a, c, wparams, wmean)
+            return eh_prog(a, b, c, iu, pr)
     compile_full_s = time.time() - t0
     t0 = time.time()
     readback(run_e2e(imgs_dev0))
@@ -217,7 +275,8 @@ def main() -> int:
                           "BASELINE.md)"),
         "breakdown": {
             "includes_detection": True,
-            "orchestration": "fused" if fused_mode else "two_program",
+            "orchestration": {"1": "fused", "2": "two_program",
+                "3": "three_program"}.get(split, split),
             "image_size": size,
             "batch": batch,
             "fused_device_images_per_sec":
