@@ -19,8 +19,12 @@ freeze-once-done behaviour — so phases can alternate between this kernel
 and the XLA body. Supported config: ``distance_measure="angle"`` (the
 production default); other measures fall back to XLA.
 
-Mosaic has no atan/asin/acos primitives; they are built from the same
-range-reduced atan polynomial as ``ops/sphere_pallas`` (|err| <= 1e-5 rad).
+Mosaic-compatibility notes: every operand arrives in its final layout
+(row vectors pre-transposed to (1, N)/(1, K) by the wrapper — in-kernel
+(N,) -> (1, N) reshapes are sublane->lane relayouts), the VP state is
+carried as (M, 1) COLUMNS (no in-kernel concatenate), counters/flags live
+in SMEM, and asin/acos/atan come from the same range-reduced atan
+polynomial as ``ops/sphere_pallas`` (|err| <= 1e-5 rad).
 """
 
 from __future__ import annotations
@@ -48,14 +52,14 @@ def _atan(u):
         -0.0851330 + t2 * 0.0208351))))
     a = t * p
     a = jnp.where(inv, jnp.pi / 2 - a, a)
-    return jnp.sign(u) * a
+    return jnp.where(u < 0, -a, jnp.where(u > 0, a, 0.0))
 
 
 def _asin(x):
     x = jnp.clip(x, -1.0, 1.0)
     d = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
     return jnp.where(d > 0, _atan(x / jnp.where(d > 0, d, 1.0)),
-                     jnp.sign(x) * (jnp.pi / 2))
+                     jnp.where(x < 0, -jnp.pi / 2, jnp.pi / 2))
 
 
 def _acos(x):
@@ -140,60 +144,61 @@ def _smallest_eigvec_3x3_cols(axx, axy, axz, ayy, ayz, azz):
     return vx / nrm, vy / nrm, vz / nrm
 
 
-def _em_phase_kernel(l_ref, lpmid_ref, lpdir_ref, llt_ref, lsim_ref,
-                     lweight_ref, means_ref, gw_ref, scal_ref,
-                     v_in_ref, vn_in_ref, logs_in_ref, flags_in_ref,
-                     v_out_ref, vn_out_ref, logs_out_ref, flags_out_ref,
+def _em_phase_kernel(midx_ref, midy_ref, dirx_ref, diry_ref, lmask_ref,
+                     llt_ref, lsim_ref, lweight_ref, mx_ref, my_ref, gw_ref,
+                     scal_ref, v_in_ref, vn_in_ref, logs_in_ref,
+                     alive_in_ref,
+                     v_out_ref, vn_out_ref, logs_out_ref, alive_out_ref,
+                     flags_out_ref,
                      *, m_slots: int, n_lines: int, n_comp: int,
                      plain_steps: int, wbias: float, final_conv: float,
                      num_iter: int, wrap_quirk: bool):
-    """One image's plain-iteration phase. Shapes:
-    l (N, 3) unit lines (0 rows on padding), lpmid (N, 2) segment midpoints,
-    lpdir (N, 2) p1 - p2, llt (N, 9) row-flattened l l^T, lsim (N, N),
-    lweight (N, 1), means (K, 2), gw (K, 1) GMM weights, scal (1, 8)
-    [sigma, log_max_stdd, i, done, empty, pad...], v/vn (M, 3), logs (M, 1).
-    flags (1, 8): [i, done, empty] as f32 (out).
-    """
+    """One image's plain-iteration phase. All row vectors arrive (1, N) /
+    (1, K); llt is (N, 16) (9 used); scal is SMEM (8,):
+    [sigma, log_max_stdd, i, done, empty, ...]; VP state is (M, 3) refs
+    read/written columnwise; flags out SMEM (8,): [i, done, empty]."""
     f32 = jnp.float32
     lsim = lsim_ref[...]                      # (N, N)
-    lw_row = lweight_ref[...].reshape(1, n_lines)   # (1, N)
-    l_nx3 = l_ref[...]                        # (N, 3)
-    llt = llt_ref[...]                        # (N, 9)
-    midx = lpmid_ref[..., 0].reshape(1, n_lines)
-    midy = lpmid_ref[..., 1].reshape(1, n_lines)
-    dirx = lpdir_ref[..., 0].reshape(1, n_lines)
-    diry = lpdir_ref[..., 1].reshape(1, n_lines)
-    n2dir = jnp.sqrt(dirx * dirx + diry * diry)      # (1, N) |p1 - p2|
-    lmask_row = (jnp.abs(l_nx3[:, 0]) + jnp.abs(l_nx3[:, 1])
-                 + jnp.abs(l_nx3[:, 2])).reshape(1, n_lines) > 0
+    lw_row = lweight_ref[...]                 # (1, N)
+    llt = llt_ref[...]                        # (N, 16)
+    midx = midx_ref[...]                      # (1, N)
+    midy = midy_ref[...]
+    dirx = dirx_ref[...]
+    diry = diry_ref[...]
+    n2dir = jnp.sqrt(dirx * dirx + diry * diry)
+    lmask_row = lmask_ref[...] > 0            # (1, N)
 
-    mx = means_ref[..., 0].reshape(1, n_comp)
-    my = means_ref[..., 1].reshape(1, n_comp)
-    gw = gw_ref[...].reshape(1, n_comp)
+    mx = mx_ref[...]                          # (1, K)
+    my = my_ref[...]
+    gw = gw_ref[...]
 
-    sigma = scal_ref[0, 0]
-    log_max_stdd = scal_ref[0, 1]
+    sigma = scal_ref[0]
+    log_max_stdd = scal_ref[1]
+    i0 = scal_ref[2]
+    done0 = scal_ref[3]
+    empty0 = scal_ref[4]
 
-    v0 = v_in_ref[...]            # (M, 3)
-    vn0 = vn_in_ref[...]
-    i0 = flags_in_ref[0, 2]
-    done0 = flags_in_ref[0, 3]
-    empty0 = flags_in_ref[0, 4]
-    # log_s and the alive mask (as f32) arrive packed as (M, 2) columns
-    logs_col0 = logs_in_ref[..., 0:1]
-    alive_col0 = logs_in_ref[..., 1:2]
+    vx0 = v_in_ref[:, 0:1]                    # (M, 1)
+    vy0 = v_in_ref[:, 1:2]
+    vz0 = v_in_ref[:, 2:3]
+    wx0 = vn_in_ref[:, 0:1]
+    wy0 = vn_in_ref[:, 1:2]
+    wz0 = vn_in_ref[:, 2:3]
+    logs0 = logs_in_ref[...]                  # (M, 1)
+    alive0 = alive_in_ref[...]                # (M, 1) f32
 
     def one_iter(carry):
-        step, vc, vn, logs, alive_c, i, done, empty = carry
+        (step, vcx, vcy, vcz, wnx, wny, wnz, logs, alive_c,
+         i, done, empty) = carry
         alive_b = alive_c > 0.5                      # (M, 1)
         alive_n = jnp.sum(alive_c)
         empty_now = alive_n == 0
         go = (done < 0.5) & (~empty_now)
 
         # ---- E-step -------------------------------------------------
-        vx = jnp.where(alive_b, vc[:, 0:1], 0.0)     # (M, 1)
-        vy = jnp.where(alive_b, vc[:, 1:2], 0.0)
-        vz = jnp.where(alive_b, vc[:, 2:3], 1.0)
+        vx = jnp.where(alive_b, vcx, 0.0)            # (M, 1)
+        vy = jnp.where(alive_b, vcy, 0.0)
+        vz = jnp.where(alive_b, vcz, 1.0)
 
         beta = _asin(jnp.clip(vy, -1.0, 1.0))
         cosb = jnp.cos(beta)
@@ -251,12 +256,12 @@ def _em_phase_kernel(l_ref, lpmid_ref, lpdir_ref, llt_ref, lsim_ref,
         wmax = jnp.max(w, axis=1, keepdims=True)      # (M, 1)
         vp_ok = wmax > 0
         wn = w / jnp.where(vp_ok, wmax, 1.0)
-        gram = jnp.dot(wn * wn, llt, preferred_element_type=f32)  # (M, 9)
+        gram = jnp.dot(wn * wn, llt, preferred_element_type=f32)  # (M, 16)
         gxx, gxy, gxz = gram[:, 0:1], gram[:, 1:2], gram[:, 2:3]
         gyy, gyz, gzz = gram[:, 4:5], gram[:, 5:6], gram[:, 8:9]
         nvx, nvy, nvz = _smallest_eigvec_3x3_cols(gxx, gxy, gxz,
                                                   gyy, gyz, gzz)
-        sgn = jnp.sign(nvz)
+        sgn = jnp.where(nvz > 0, 1.0, jnp.where(nvz < 0, -1.0, 0.0))
         nvx, nvy, nvz = nvx * sgn, nvy * sgn, nvz * sgn
 
         # s update: log s = logsumexp(log lvsq + log p_vl) - log sum p_vl
@@ -267,8 +272,9 @@ def _em_phase_kernel(l_ref, lpmid_ref, lpdir_ref, llt_ref, lsim_ref,
         tm_s = jnp.where(jnp.isfinite(tm), tm, 0.0)
         num = tm_s + jnp.log(jnp.sum(jnp.exp(t - tm_s), axis=1,
                                      keepdims=True))
-        has_nan = jnp.any(jnp.isnan(t), axis=1, keepdims=True)
-        num = jnp.where(has_nan, jnp.nan, num)
+        nan_cnt = jnp.sum(jnp.where(jnp.isnan(t), 1.0, 0.0), axis=1,
+                          keepdims=True)
+        num = jnp.where(nan_cnt > 0, jnp.nan, num)
         den_lin = jnp.sum(p_vl, axis=1, keepdims=True)
         den = _safe_log(den_lin)
         s_log_new = num - den
@@ -276,22 +282,22 @@ def _em_phase_kernel(l_ref, lpmid_ref, lpdir_ref, llt_ref, lsim_ref,
         s_nan = jnp.isnan(s_log_new)
 
         upd = alive_b & vp_ok
-        vnx = jnp.where(upd, nvx, vc[:, 0:1])
-        vny = jnp.where(upd, nvy, vc[:, 1:2])
-        vnz = jnp.where(upd, nvz, vc[:, 2:3])
+        cnx = jnp.where(upd, nvx, vcx)
+        cny = jnp.where(upd, nvy, vcy)
+        cnz = jnp.where(upd, nvz, vcz)
         logs2 = jnp.where(upd, s_log_new, logs)
-        dotv = jnp.abs(vc[:, 0:1] * vnx + vc[:, 1:2] * vny
-                       + vc[:, 2:3] * vnz)
+        dotv = jnp.abs(vcx * cnx + vcy * cny + vcz * cnz)
         err = _acos(jnp.minimum(dotv, 1.0))           # (M, 1)
         contributes = upd & (~s_nan)
         max_err = jnp.max(jnp.where(contributes, err, 0.0))
         removed = alive_b & ((~vp_ok) | s_nan | (contributes & (err > 1.5)))
         alive2 = alive_b & (~removed)
 
-        v_next2 = jnp.concatenate([vnx, vny, vnz], axis=1)
-        vn2 = jnp.where(go, v_next2, vn)
+        wnx2 = jnp.where(go, cnx, wnx)
+        wny2 = jnp.where(go, cny, wny)
+        wnz2 = jnp.where(go, cnz, wnz)
         logs2 = jnp.where(go, logs2, logs)
-        alive_c2 = jnp.where(go, alive2.astype(f32), alive_c)
+        alive_c2 = jnp.where(go, jnp.where(alive2, 1.0, 0.0), alive_c)
 
         converged = (max_err < final_conv) | (i == num_iter - 1)
         done2 = jnp.maximum(done, jnp.where(
@@ -301,25 +307,38 @@ def _em_phase_kernel(l_ref, lpmid_ref, lpdir_ref, llt_ref, lsim_ref,
 
         swap = go & (~converged)
         i2 = jnp.where(swap, i + 1.0, i)
-        vc2 = jnp.where(swap, vn2, vc)
-        return (step + 1, vc2, vn2, logs2, alive_c2, i2, done2, empty2)
+        vcx2 = jnp.where(swap, wnx2, vcx)
+        vcy2 = jnp.where(swap, wny2, vcy)
+        vcz2 = jnp.where(swap, wnz2, vcz)
+        return (step + 1, vcx2, vcy2, vcz2, wnx2, wny2, wnz2, logs2,
+                alive_c2, i2, done2, empty2)
 
     def cond(carry):
         step = carry[0]
-        done = carry[6]
+        done = carry[10]
         return (step < plain_steps) & (done < 0.5)
 
-    init = (jnp.int32(0), v0, vn0, logs_col0, alive_col0, i0, done0, empty0)
+    init = (jnp.int32(0), vx0, vy0, vz0, wx0, wy0, wz0, logs0, alive0,
+            i0, done0, empty0)
     out = jax.lax.while_loop(cond, one_iter, init)
-    _, vc, vn, logs, alive_c, i, done, empty = out
+    (_, vcx, vcy, vcz, wnx, wny, wnz, logs, alive_c, i, done, empty) = out
 
-    v_out_ref[...] = vc
-    vn_out_ref[...] = vn
-    logs_out_ref[...] = jnp.concatenate([logs, alive_c], axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-    flg = jnp.where(cols == 2, i, jnp.where(cols == 3, done,
-                    jnp.where(cols == 4, empty, 0.0)))
-    flags_out_ref[...] = flg.astype(f32)
+    v_out_ref[:, 0:1] = vcx
+    v_out_ref[:, 1:2] = vcy
+    v_out_ref[:, 2:3] = vcz
+    vn_out_ref[:, 0:1] = wnx
+    vn_out_ref[:, 1:2] = wny
+    vn_out_ref[:, 2:3] = wnz
+    logs_out_ref[...] = logs
+    alive_out_ref[...] = alive_c
+    flags_out_ref[0] = jnp.float32(0.0)
+    flags_out_ref[1] = jnp.float32(0.0)
+    flags_out_ref[2] = i
+    flags_out_ref[3] = done
+    flags_out_ref[4] = empty
+    flags_out_ref[5] = jnp.float32(0.0)
+    flags_out_ref[6] = jnp.float32(0.0)
+    flags_out_ref[7] = jnp.float32(0.0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -337,40 +356,48 @@ def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
     f32 = jnp.float32
     n = l.shape[0]
     m = v_cur.shape[0]
-    k = means.shape[0]
 
     lpmid = 0.5 * (lp[:, 0:2] + lp[:, 2:4])
     lpdir = lp[:, 0:2] - lp[:, 2:4]
-    logs_pack = jnp.stack([log_s, alive.astype(f32)], axis=1)  # (M, 2)
-    flags = jnp.zeros((1, 8), f32)
-    flags = flags.at[0, 2].set(i.astype(f32))
-    flags = flags.at[0, 3].set(done.astype(f32))
-    flags = flags.at[0, 4].set(empty.astype(f32))
-    scal = jnp.zeros((1, 8), f32)
-    scal = scal.at[0, 0].set(sigma)
-    scal = scal.at[0, 1].set(log_max_stdd)
+    midx = lpmid[:, 0].astype(f32).reshape(1, n)
+    midy = lpmid[:, 1].astype(f32).reshape(1, n)
+    dirx = lpdir[:, 0].astype(f32).reshape(1, n)
+    diry = lpdir[:, 1].astype(f32).reshape(1, n)
+    lmask = (jnp.sum(jnp.abs(l), axis=1) > 0).astype(f32).reshape(1, n)
+    llt16 = jnp.pad(llt.astype(f32), ((0, 0), (0, 16 - llt.shape[1])))
+    mx = means[:, 0].astype(f32).reshape(1, -1)
+    my = means[:, 1].astype(f32).reshape(1, -1)
+    gw = gweights.astype(f32).reshape(1, -1)
+
+    scal = jnp.stack([
+        jnp.asarray(sigma, f32), jnp.asarray(log_max_stdd, f32),
+        i.astype(f32), jnp.where(done, 1.0, 0.0).astype(f32),
+        jnp.where(empty, 1.0, 0.0).astype(f32),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0)])
 
     kern = functools.partial(
-        _em_phase_kernel, m_slots=m, n_lines=n, n_comp=k,
+        _em_phase_kernel, m_slots=m, n_lines=n, n_comp=mx.shape[1],
         plain_steps=plain_steps, wbias=wbias, final_conv=final_conv,
         num_iter=num_iter, wrap_quirk=wrap_quirk)
-    specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
-    v_o, vn_o, logs_o, flags_o = pl.pallas_call(
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    v_o, vn_o, logs_o, alive_o, flags_o = pl.pallas_call(
         kern,
-        in_specs=specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[vspec] * 11 + [sspec] + [vspec] * 4,
+        out_specs=[vspec, vspec, vspec, vspec, sspec],
         out_shape=[
             jax.ShapeDtypeStruct((m, 3), f32),
             jax.ShapeDtypeStruct((m, 3), f32),
-            jax.ShapeDtypeStruct((m, 2), f32),
-            jax.ShapeDtypeStruct((1, 8), f32),
+            jax.ShapeDtypeStruct((m, 1), f32),
+            jax.ShapeDtypeStruct((m, 1), f32),
+            jax.ShapeDtypeStruct((8,), f32),
         ],
         interpret=interpret,
-    )(l.astype(f32), lpmid.astype(f32), lpdir.astype(f32), llt.astype(f32),
-      lsim.astype(f32), lweight.astype(f32)[:, None], means.astype(f32),
-      gweights.astype(f32)[:, None], scal, v_cur.astype(f32),
-      v_next.astype(f32), logs_pack, flags)
+    )(midx, midy, dirx, diry, lmask, llt16, lsim.astype(f32),
+      lweight.astype(f32).reshape(1, n), mx, my, gw, scal,
+      v_cur.astype(f32), v_next.astype(f32),
+      log_s.astype(f32)[:, None], alive.astype(f32)[:, None])
 
-    return (v_o, vn_o, logs_o[:, 0], logs_o[:, 1] > 0.5,
-            flags_o[0, 2].astype(jnp.int32), flags_o[0, 3] > 0.5,
-            flags_o[0, 4] > 0.5)
+    return (v_o, vn_o, logs_o[:, 0], alive_o[:, 0] > 0.5,
+            flags_o[2].astype(jnp.int32), flags_o[3] > 0.5,
+            flags_o[4] > 0.5)
