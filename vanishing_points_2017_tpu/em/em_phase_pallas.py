@@ -172,11 +172,11 @@ def _em_phase_kernel(midx_ref, midy_ref, dirx_ref, diry_ref, lmask_ref,
     my = my_ref[...]
     gw = gw_ref[...]
 
-    sigma = scal_ref[0]
-    log_max_stdd = scal_ref[1]
-    i0 = scal_ref[2]
-    done0 = scal_ref[3]
-    empty0 = scal_ref[4]
+    sigma = scal_ref[0, 0]
+    log_max_stdd = scal_ref[0, 1]
+    i0 = scal_ref[0, 2]
+    done0 = scal_ref[0, 3]
+    empty0 = scal_ref[0, 4]
 
     vx0 = v_in_ref[:, 0:1]                    # (M, 1)
     vy0 = v_in_ref[:, 1:2]
@@ -331,14 +331,14 @@ def _em_phase_kernel(midx_ref, midy_ref, dirx_ref, diry_ref, lmask_ref,
     vn_out_ref[:, 2:3] = wnz
     logs_out_ref[...] = logs
     alive_out_ref[...] = alive_c
-    flags_out_ref[0] = jnp.float32(0.0)
-    flags_out_ref[1] = jnp.float32(0.0)
-    flags_out_ref[2] = i
-    flags_out_ref[3] = done
-    flags_out_ref[4] = empty
-    flags_out_ref[5] = jnp.float32(0.0)
-    flags_out_ref[6] = jnp.float32(0.0)
-    flags_out_ref[7] = jnp.float32(0.0)
+    flags_out_ref[0, 0] = jnp.float32(0.0)
+    flags_out_ref[0, 1] = jnp.float32(0.0)
+    flags_out_ref[0, 2] = i
+    flags_out_ref[0, 3] = done
+    flags_out_ref[0, 4] = empty
+    flags_out_ref[0, 5] = jnp.float32(0.0)
+    flags_out_ref[0, 6] = jnp.float32(0.0)
+    flags_out_ref[0, 7] = jnp.float32(0.0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -373,7 +373,7 @@ def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
         jnp.asarray(sigma, f32), jnp.asarray(log_max_stdd, f32),
         i.astype(f32), jnp.where(done, 1.0, 0.0).astype(f32),
         jnp.where(empty, 1.0, 0.0).astype(f32),
-        jnp.float32(0), jnp.float32(0), jnp.float32(0)])
+        jnp.float32(0), jnp.float32(0), jnp.float32(0)])[None, :]
 
     kern = functools.partial(
         _em_phase_kernel, m_slots=m, n_lines=n, n_comp=mx.shape[1],
@@ -390,7 +390,7 @@ def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
             jax.ShapeDtypeStruct((m, 3), f32),
             jax.ShapeDtypeStruct((m, 1), f32),
             jax.ShapeDtypeStruct((m, 1), f32),
-            jax.ShapeDtypeStruct((8,), f32),
+            jax.ShapeDtypeStruct((1, 8), f32),
         ],
         interpret=interpret,
     )(midx, midy, dirx, diry, lmask, llt16, lsim.astype(f32),
@@ -399,5 +399,5 @@ def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
       log_s.astype(f32)[:, None], alive.astype(f32)[:, None])
 
     return (v_o, vn_o, logs_o[:, 0], alive_o[:, 0] > 0.5,
-            flags_o[2].astype(jnp.int32), flags_o[3] > 0.5,
-            flags_o[4] > 0.5)
+            flags_o[0, 2].astype(jnp.int32), flags_o[0, 3] > 0.5,
+            flags_o[0, 4] > 0.5)
