@@ -55,6 +55,10 @@ def main() -> int:
     from vanishing_points_2017_tpu import weights as wload
 
     cfg = PipelineConfig()
+    if os.environ.get("BENCH_EM_KERNEL", "xla") != "xla":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, em=dataclasses.replace(
+            cfg.em, kernel=os.environ["BENCH_EM_KERNEL"]))
     # trained weights when available: the EM iteration count (and thus the
     # honest throughput) depends on the CNN prior's quality
     params, mean = wload.load_params_and_mean(warn=False)
