@@ -183,3 +183,22 @@ def test_save_cnn_result_roundtrip(tmp_path):
     assert datum["prediction"].shape == (20, 20)
     back = np.load(path)
     np.testing.assert_array_equal(back["prediction"], datum["prediction"])
+
+def test_renew_cnn_result():
+    """renew_cnn_result (evaluation.py:357-361 of the reference) returns a
+    fresh (sphere_image, prediction) pair from a raw line set."""
+    import jax
+    from vanishing_points_2017_tpu.models import cnn as cnn_mod
+
+    rng = np.random.default_rng(6)
+    scene = synth.make_scene(rng, lines_per_vp=15, outliers=2)
+    seg = scene.segments
+    p1 = np.concatenate([seg[:, 0:2], np.ones((seg.shape[0], 1))], axis=1)
+    p2 = np.concatenate([seg[:, 2:4], np.ones((seg.shape[0], 1))], axis=1)
+    lines = np.cross(p1, p2)
+    params = cnn_mod.init_params(jax.random.PRNGKey(0), input_size=250)
+    mean = np.zeros((250, 250), np.float32)
+    img, pred = compat.renew_cnn_result(params, mean, lines, image_size=250)
+    assert img.shape == (250, 250) and img.dtype == np.uint8
+    assert pred.shape == (20, 20)
+    assert np.isfinite(pred).all()

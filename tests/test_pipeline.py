@@ -178,22 +178,57 @@ def _detector_edge_graph(seed: int, size: int):
 
 def test_raster_ccl_reaches_fixpoint():
     """After the default pass count, one more neighbour-min round over the
-    edge graph must be a no-op (the labels are a CCL fixpoint)."""
+    edge graph must be a no-op (the labels are a CCL fixpoint) — checked
+    across several rendered seeds and image sizes (the raster passes are
+    provably exact only for digital straight lines; these scenes include
+    noise-induced zigzag components)."""
     import jax.numpy as jnp
     from vanishing_points_2017_tpu.ops import lines_device as ld
 
-    for seed in (0, 7):
-        active, ux, uy, cos_tol = _detector_edge_graph(seed, 320)
-        h, w = active.shape
-        lab = jnp.asarray(ld._connected_components(
-            active, ux, uy, cos_tol, passes=8)).reshape(h, w)
-        em = ld._edge_masks(active, ux, uy, cos_tol)
-        best = lab
-        for key, m in em.items():
-            dy, dx = key
-            nb = ld._shift(lab, dy, dx, ld._I32_MAX)
-            best = jnp.minimum(best, jnp.where(m, nb, ld._I32_MAX))
-        np.testing.assert_array_equal(np.asarray(best), np.asarray(lab))
+    for seed, size in ((0, 320), (7, 320), (3, 256), (11, 384), (23, 200)):
+        active, ux, uy, cos_tol = _detector_edge_graph(seed, size)
+        lab = ld._connected_components(active, ux, uy, cos_tol, passes=8)
+        resid = int(ld.ccl_fixpoint_residual(active, ux, uy, cos_tol, lab))
+        assert resid == 0, (seed, size, resid)
+
+
+def test_detector_check_fixpoint_flag_clean():
+    """check_fixpoint=True must not alter the output when the pass count
+    suffices (the NaN poison stays dormant)."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    rng = np.random.default_rng(2)
+    scene = synth.make_scene(rng, lines_per_vp=20, outliers=5)
+    img = jnp.asarray(render_scene_image(scene, size=320, rng=rng)
+                      .astype(np.float32))
+    seg0, m0 = detect_segments_device(img, max_segments=256)
+    seg1, m1 = detect_segments_device(img, max_segments=256,
+                                      check_fixpoint=True)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg1))
+    assert np.isfinite(np.asarray(seg1)).all()
+
+
+def test_detector_runs_per_row_tunable():
+    """A generous runs_per_row must reproduce the default result (the
+    default budget is already exact on these scenes), proving the plumb-
+    through; the parameter exists so dense-scene users can raise it."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    rng = np.random.default_rng(4)
+    scene = synth.make_scene(rng, lines_per_vp=20, outliers=5)
+    img = jnp.asarray(render_scene_image(scene, size=320, rng=rng)
+                      .astype(np.float32))
+    seg0, m0 = detect_segments_device(img, max_segments=256)
+    seg1, m1 = detect_segments_device(img, max_segments=256,
+                                      runs_per_row=160)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_allclose(np.asarray(seg0), np.asarray(seg1),
+                               atol=1e-6)
 
 
 @pytest.mark.slow

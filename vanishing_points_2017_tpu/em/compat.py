@@ -151,6 +151,31 @@ def create_data_dict_single(image_rgb: np.ndarray,
     return {"lines": datum, "sphere_image": sphere_image}
 
 
+def renew_cnn_result(params, mean, lines: np.ndarray,
+                     image_size: int = 500):
+    """Re-render the sphere image from ``lines`` and re-run the CNN
+    (``renew_cnn_result``, ``evaluation.py:357-361`` of the reference).
+
+    lines: (N, 3) homogeneous lines in the normalized frame. Returns
+    ``(sphere_image, prediction)`` exactly like the reference — a fresh
+    render + forward with no caching, for callers that changed the line
+    set after the pickled CNN pass.
+    """
+    from ..models import cnn as cnn_mod
+    from ..ops import sphere as sphere_mod
+
+    n = np.asarray(lines).shape[0]
+    n_pad = max(512, int(2 ** np.ceil(np.log2(max(n, 1)))))
+    l = np.zeros((n_pad, 3), np.float32)
+    l[:n] = np.asarray(lines)[:, :3]
+    lmask = np.arange(n_pad) < n
+    img = sphere_mod.sphere_image_uint8(jnp.asarray(l), jnp.asarray(lmask),
+                                        size=image_size)
+    x = cnn_mod.preprocess(img[None], jnp.asarray(mean, jnp.float32))
+    prediction = np.asarray(cnn_mod.forward(params, x)[0])
+    return np.asarray(img), prediction
+
+
 def save_cnn_result(params, mean, datum: dict, file_for_basename: str,
                     sphere_size: int = 500, n_pad: int = 512) -> str:
     """CNN forward on a datum's sphere image + persist

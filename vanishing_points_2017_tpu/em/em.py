@@ -575,7 +575,7 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
             out = em_phase_pallas(
                 l, lp, llt, lsim, lweight, pdfpar.means, pdfpar.weights,
                 pdfpar.sigma, log_max_stdd, st.v_cur, st.v_next, st.log_s,
-                st.alive, st.i, st.done, st.empty,
+                st.alive, st.i, st.done, st.empty, lmask,
                 plain_steps=plain_steps, wbias=float(cfg.wbias),
                 final_conv=float(cfg.final_convergence),
                 num_iter=int(cfg.num_iter), wrap_quirk=bool(cfg.wrap_quirk),

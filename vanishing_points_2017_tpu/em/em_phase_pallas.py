@@ -346,7 +346,7 @@ def _em_phase_kernel(midx_ref, midy_ref, dirx_ref, diry_ref, lmask_ref,
     "interpret"))
 def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
                    log_max_stdd, v_cur, v_next, log_s, alive, i, done,
-                   empty, *, plain_steps: int, wbias: float,
+                   empty, line_mask=None, *, plain_steps: int, wbias: float,
                    final_conv: float, num_iter: int, wrap_quirk: bool,
                    interpret: bool = False):
     """Single-image plain-iteration phase (vmap over a batch for the
@@ -363,7 +363,13 @@ def em_phase_pallas(l, lp, llt, lsim, lweight, means, gweights, sigma,
     midy = lpmid[:, 1].astype(f32).reshape(1, n)
     dirx = lpdir[:, 0].astype(f32).reshape(1, n)
     diry = lpdir[:, 1].astype(f32).reshape(1, n)
-    lmask = (jnp.sum(jnp.abs(l), axis=1) > 0).astype(f32).reshape(1, n)
+    if line_mask is None:
+        # fallback: infer validity from the zeroed padded rows (a masked-
+        # valid degenerate segment with all-zero coords would be missed —
+        # callers should pass the real mask)
+        lmask = (jnp.sum(jnp.abs(l), axis=1) > 0).astype(f32).reshape(1, n)
+    else:
+        lmask = line_mask.astype(f32).reshape(1, n)
     llt16 = jnp.pad(llt.astype(f32), ((0, 0), (0, 16 - llt.shape[1])))
     mx = means[:, 0].astype(f32).reshape(1, -1)
     my = means[:, 1].astype(f32).reshape(1, -1)

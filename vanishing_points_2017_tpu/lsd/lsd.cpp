@@ -15,6 +15,20 @@
 //   lsd_detect(image, w, h, &out, &n): out = n rows x 7 doubles
 //       (x1, y1, x2, y2, width, precision, -log10(NFA))
 //   lsd_free(out)
+//
+// PROVENANCE / LICENSE NOTE (deliberate decision, see README "Licensing"):
+// this file implements the algorithm published in von Gioi, Jakubowicz,
+// Morel, Randall, "LSD: a Line Segment Detector", IPOL 2012
+// (doi:10.5201/ipol.2012.gjmr-lsd). The IPOL reference C implementation is
+// AGPL-3.0; this C++ code was written from the paper's algorithm
+// description and therefore necessarily matches its numeric scaffolding
+// (Lanczos log-gamma, Windschitl approximation, NFA tail-sum bound,
+// rect_improve schedule — those ARE the published algorithm). The upstream
+// reference project kept the AGPL code out of its tree via a git submodule
+// (fkluger/lsd-python); anyone redistributing THIS repository should
+// either treat this file as AGPL-compatible or swap in the on-device
+// detector (ops/lines_device.py), which is an independent clean-room
+// formulation and the production path anyway.
 
 #include <cmath>
 #include <cstdlib>

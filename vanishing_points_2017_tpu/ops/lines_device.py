@@ -223,6 +223,30 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
     return lab.reshape(-1)
 
 
+def ccl_fixpoint_residual(active: jnp.ndarray, ux: jnp.ndarray,
+                          uy: jnp.ndarray, cos_tol: float,
+                          labels: jnp.ndarray) -> jnp.ndarray:
+    """Number of pixels whose label would still change under one more
+    neighbour-min round — 0 iff ``labels`` is the CCL fixpoint.
+
+    Debug/validation helper for :func:`_connected_components`'s fixed
+    ``ccl_passes``: raster passes are provably exact only for digital
+    straight lines; curved/zigzag noise components may need more. Tests
+    assert residual == 0 across seeds/sizes (tests/test_pipeline.py), and
+    ``detect_segments_device(..., check_fixpoint=True)`` folds the check
+    into the jitted program via a NaN poison on the output.
+    """
+    h, w = active.shape
+    lab = labels.reshape(h, w)
+    masks = _edge_masks(active, ux, uy, cos_tol)
+    best = lab
+    for key in _NEIGHBOURS:
+        dy, dx = key
+        nb = _shift(lab, dy, dx, _I32_MAX)
+        best = jnp.minimum(best, jnp.where(masks[key], nb, _I32_MAX))
+    return jnp.sum(best != lab)
+
+
 def _segmented_sum_scan(v: jnp.ndarray, conn: jnp.ndarray,
                         log_steps: int) -> jnp.ndarray:
     """Per-segment inclusive prefix SUM along the last axis (leading axes
@@ -388,16 +412,26 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("max_segments", "tol_deg",
                                              "min_count", "min_len_px",
                                              "ccl_passes",
-                                             "blur_sigma", "pair_tol_factor"))
+                                             "blur_sigma", "pair_tol_factor",
+                                             "runs_per_row",
+                                             "check_fixpoint"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 10.0,
                            ccl_passes: int = 8,
                            blur_sigma: float = 1.0,
-                           pair_tol_factor: float = 1.0):
+                           pair_tol_factor: float = 1.0,
+                           runs_per_row: int | None = None,
+                           check_fixpoint: bool = False):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
+    ``runs_per_row`` bounds the per-row run-record budget of the selection
+    stage (default max(64, max_segments/8)); rows denser than that drop
+    their weakest runs, so dense-scene users can raise it explicitly.
+    ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
+    raster passes did not reach the CCL fixpoint (debug aid; the passes
+    are provably exact only for digital straight lines).
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
@@ -429,6 +463,12 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # alternates between the two +-tol extremes) fragments regions.
     root = _connected_components(
         active, ux, uy, math.cos(pair_tol_factor * tol), ccl_passes)
+    if check_fixpoint:
+        resid = ccl_fixpoint_residual(active, ux, uy,
+                                      math.cos(pair_tol_factor * tol), root)
+        poison = jnp.where(resid > 0, jnp.nan, 0.0)
+    else:
+        poison = 0.0
 
     # ---- pixel tables in the NORMALIZED frame (centre origin, +y up,
     # long axis [-1, 1]) so the moment sums stay O(1)-scaled for float32
@@ -443,7 +483,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # ---- component selection + exact moments + extremal projections,
     # all via per-row run records (no per-pixel sort/scatter/membership)
     st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
-                          (hi, wi))
+                          (hi, wi), runs_per_row=runs_per_row)
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
     ddx, ddy = st["ddx"], st["ddy"]
@@ -471,7 +511,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     p2x = cx + (tmax - t_c) * ddx
     p2y = cy + (tmax - t_c) * ddy
     seg = jnp.stack([p1x, p1y, p2x, p2y], axis=-1)
-    seg = jnp.where(valid[:, None], seg, 0.0)
+    seg = jnp.where(valid[:, None], seg + poison, 0.0)
 
     # re-rank so valid segments occupy the leading mask slots
     order = jnp.argsort(~valid, stable=True)
