@@ -1,45 +1,84 @@
 #!/usr/bin/env python3
 """Throughput benchmark: HONEST end-to-end images/sec on the current device.
 
-The headline metric now INCLUDES line detection: it times the zero-host-
-round-trip program ``device_pipeline_full`` (grayscale image in -> Gaussian
-blur -> gradient -> connected-component line detection -> inverse-gnomonic
-sphere render -> CNN forward -> EM with split/merge -> horizon out), i.e.
-everything the reference pipeline does after image decode (SURVEY §3.1),
-including the host->device image transfer. Round 1 reported the fused
-lines->horizon program only and excluded the (then host-only) LSD stage;
-that split is still reported in the breakdown as ``fused_device``.
+The headline metric INCLUDES line detection: it times the zero-host-
+round-trip pipeline (grayscale image in -> Gaussian blur -> gradient ->
+connected-component line detection -> inverse-gnomonic sphere render ->
+CNN forward -> EM with split/merge -> horizon out), i.e. everything the
+reference pipeline does after image decode (SURVEY §3.1), including the
+host->device image transfer per batch.
 
 Prints ONE JSON line with the required keys {"metric", "value", "unit",
-"vs_baseline"} plus a "breakdown" object (stage splits, MFU estimate) and
-"baseline_note" marking the denominator as an estimate.
+"vs_baseline"} plus a "breakdown" object (stage splits, FLOPs/img, MFU
+estimate) and "baseline_note" marking the denominator as an estimate.
+
+ARCHITECTURE (round 3): a deadline-supervised parent + worker
+subprocesses. Round 2's official capture timed out (BENCH_r02.json
+rc=124, parsed=null) because the axon remote-compile service starved on
+composed programs for ~25 min per attempt and bench.py had retry sleeps
+but no global deadline. Now:
+
+  - the PARENT never imports jax (cannot be wedged by the TPU grant).
+    It enforces a global wall-clock deadline (env BENCH_DEADLINE,
+    default 900 s) and ALWAYS emits the one-line JSON before it —
+    with a "degraded": true marker when the TPU path did not land.
+  - a CPU-backend worker starts IMMEDIATELY in parallel (it never
+    touches the TPU): a guaranteed-landing fallback number (~2-4 min).
+  - the TPU worker runs the two-program orchestration; on timeout or
+    error the parent falls back to the three-program orchestration
+    (smallest programs — each compiles in seconds even when the axon
+    service starves on larger compositions, TODO.md item 11).
+  - SIGTERM/SIGINT on the parent (e.g. the driver's own timeout) emits
+    the best result so far, then exits 0.
 
 Baseline: the reference publishes no numbers (BASELINE.md). Its per-image
-cost on CPU is dominated by the EM's O(N^2) Python loops plus Agg rendering
-and Caffe; the documented working estimate is 0.2 images/s. The reference
-cannot run in this image (Python 2 + Caffe), so vs_baseline is an ESTIMATE,
-not a measurement.
+cost on CPU is dominated by the EM's O(N^2) Python loops plus Agg
+rendering and Caffe; the documented working estimate is 0.2 images/s.
+The reference cannot run in this image (Python 2 + Caffe), so
+vs_baseline is an ESTIMATE, not a measurement.
+
+Env knobs: BENCH_DEADLINE (s), BENCH_BATCH, BENCH_ITERS,
+BENCH_IMAGE_SIZE, BENCH_EM_KERNEL (xla|pallas), BENCH_FUSED=1 (single
+fused program instead of two), BENCH_BREAKDOWN=1 (adds the lines->
+horizon fused split, a second server setup on axon), BENCH_PEAK_FLOPS,
+BENCH_CPU_FALLBACK=0 (skip the parallel CPU worker).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
 REFERENCE_IMAGES_PER_SEC = 0.2  # documented estimate, see BASELINE.md
 
+_START = time.time()
 
-def main() -> int:
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-    size = int(os.environ.get("BENCH_IMAGE_SIZE", "640"))
 
+def _deadline() -> float:
+    return float(os.environ.get("BENCH_DEADLINE", "900"))
+
+
+def _remaining() -> float:
+    return _deadline() - (time.time() - _START)
+
+
+# --------------------------------------------------------------------------
+# worker: does the actual measurement on one backend/orchestration
+# --------------------------------------------------------------------------
+
+def measure(platform: str, split: str, batch: int, iters: int, size: int,
+            breakdown: bool) -> dict:
+    """Compile + time one orchestration; returns the full record dict."""
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +105,8 @@ def main() -> int:
 
     # realistic inputs: rendered synthetic scenes (for the full path) and
     # their line bundles (for the fused-device breakdown)
-    rng = np.random.default_rng(0)
+    import numpy as np_
+    rng = np_.random.default_rng(0)
     imgs_np, ls, lps, masks = [], [], [], []
     for _ in range(batch):
         scene = synth.make_scene(rng, lines_per_vp=int(rng.integers(30, 60)),
@@ -76,33 +116,17 @@ def main() -> int:
         ls.append(l), lps.append(lp), masks.append(m)
     # ship uint8 over the H2D link (the images' native format; the device
     # detector casts to f32 on chip) — 4x less per-call transfer
-    imgs_host = np.stack(imgs_np).astype(np.uint8)
-    l = jnp.asarray(np.stack(ls))
-    lp = jnp.asarray(np.stack(lps))
-    m = jnp.asarray(np.stack(masks))
+    imgs_host = np_.stack(imgs_np).astype(np_.uint8)
+    l = jnp.asarray(np_.stack(ls))
+    lp = jnp.asarray(np_.stack(lps))
+    m = jnp.asarray(np_.stack(masks))
 
     def readback(out):
         # NB: jax.block_until_ready does not actually block on the axon
         # platform — force a device->host readback so the timing is honest
         return float(jnp.sum(out["hp1"]))
 
-    # ---- headline: end-to-end incl. detection + H2D transfer ----
-    # Two orchestration modes, both timing the SAME work (image in ->
-    # horizon out, detection on device):
-    #   BENCH_FUSED=1  one XLA program (device_pipeline_full). The design
-    #                  flagship, but the axon remote-compiler has hung
-    #                  >40 min on this composition twice, so it is opt-in.
-    #   default        two chained programs — detect (+to-homogeneous) and
-    #                  lines->horizon — intermediates stay on device; the
-    #                  only extra cost is one more dispatch per batch.
-    # One lowered+compiled executable per program serves timing AND cost
-    # analysis: on axon every distinct jitted program pays a server-side
-    # first-execution setup that the local persistent cache cannot avoid.
     imgs_dev0 = jnp.asarray(imgs_host)
-    split = os.environ.get("BENCH_SPLIT", "2")
-    if os.environ.get("BENCH_FUSED", "0") == "1":
-        split = "1"
-    fused_mode = split == "1"
 
     from vanishing_points_2017_tpu.ops.lines_device import (
         detect_segments_device)
@@ -122,21 +146,6 @@ def main() -> int:
             return l_d, lp_d, lm_d
         return jax.vmap(one)(ims)
 
-    # The axon tunnel sporadically drops long remote_compile connections
-    # (broken pipe) and needs a few minutes to recover after a failure —
-    # retry instead of losing the whole bench run.
-    def with_retry(build):
-        last_err = None
-        for attempt in range(3):
-            try:
-                return build()
-            except Exception as e:  # transport errors -> JaxRuntimeError
-                last_err = e
-                sys.stderr.write(f"bench: compile attempt {attempt + 1} "
-                                 f"failed ({e}); retrying in 240s\n")
-                time.sleep(240)
-        raise last_err
-
     # CRITICAL: params/mean must be jit ARGUMENTS, never closure
     # captures — closed-over arrays are embedded into the program as
     # constants, and shipping a 1 GB dense-weight program through the
@@ -147,29 +156,28 @@ def main() -> int:
     wmean = pipe.mean
 
     t0 = time.time()
-    if fused_mode:
-        full = with_retry(lambda: jax.jit(
-            lambda im, pp, mm: device_pipeline_full(im, pp, mm, cfg))
-            .lower(imgs_dev0, wparams, wmean).compile())
+    if split == "1":
+        full = jax.jit(
+            lambda im, pp, mm: device_pipeline_full(im, pp, mm, cfg)) \
+            .lower(imgs_dev0, wparams, wmean).compile()
         programs = [full]
 
         def run_e2e(ims):
             return full(ims, wparams, wmean)
     elif split == "2":
-        det_prog = with_retry(lambda: jax.jit(detect_stage)
-                              .lower(imgs_dev0).compile())
+        det_prog = jax.jit(detect_stage).lower(imgs_dev0).compile()
         l0, lp0, m0 = det_prog(imgs_dev0)
-        post_prog = with_retry(lambda: jax.jit(
+        post_prog = jax.jit(
             lambda a, b, c, pp, mm: device_pipeline_batch(
-                a, b, c, pp, mm, cfg))
-            .lower(l0, lp0, m0, wparams, wmean).compile())
+                a, b, c, pp, mm, cfg)) \
+            .lower(l0, lp0, m0, wparams, wmean).compile()
         programs = [det_prog, post_prog]
 
         def run_e2e(ims):
             a, b, c = det_prog(ims)
             return post_prog(a, b, c, wparams, wmean)
     else:
-        # BENCH_SPLIT=3: detect / render+CNN / EM+horizon — the smallest
+        # split == "3": detect / render+CNN / EM+horizon — the smallest
         # programs (each compiles in seconds-to-~1 min even when the
         # axon compile service starves on larger compositions); costs
         # two extra dispatches per batch
@@ -177,9 +185,8 @@ def main() -> int:
 
         def render_cnn(l_b, m_b, pp, mm):
             def one(a, b):
-                img_u8 = sphere_mod.sphere_image_uint8(
+                return sphere_mod.sphere_image_uint8(
                     a, b, size=cfg.sphere_size)
-                return img_u8
             img_u8 = jax.vmap(one)(l_b, m_b)
             x = cnn_mod.preprocess(img_u8, mm)
             pred = cnn_mod.forward(pp, x, compute_dtype=cdtype)
@@ -195,14 +202,13 @@ def main() -> int:
                 return {"hp1": hp1, "hp2": hp2}
             return jax.vmap(one)(l_b, lp_b, m_b, img_u8, pred)
 
-        det_prog = with_retry(lambda: jax.jit(detect_stage)
-                              .lower(imgs_dev0).compile())
+        det_prog = jax.jit(detect_stage).lower(imgs_dev0).compile()
         l0, lp0, m0 = det_prog(imgs_dev0)
-        rc_prog = with_retry(lambda: jax.jit(render_cnn)
-                             .lower(l0, m0, wparams, wmean).compile())
+        rc_prog = jax.jit(render_cnn) \
+            .lower(l0, m0, wparams, wmean).compile()
         i0, p0 = rc_prog(l0, m0, wparams, wmean)
-        eh_prog = with_retry(lambda: jax.jit(em_horizon)
-                             .lower(l0, lp0, m0, i0, p0).compile())
+        eh_prog = jax.jit(em_horizon) \
+            .lower(l0, lp0, m0, i0, p0).compile()
         programs = [det_prog, rc_prog, eh_prog]
 
         def run_e2e(ims):
@@ -220,26 +226,25 @@ def main() -> int:
     e2e_ips = batch * iters / dt_full
 
     # ---- breakdown: fused device program on pre-extracted lines ----
-    # (a second big program = a second server setup; opt out with
-    # BENCH_BREAKDOWN=0 when wall clock matters more than the split)
+    # (a second big program = a second axon server setup; opt-IN)
     fused_ips = None
     compile_fused_s = None
-    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
-        fused = jax.jit(lambda a, b, c: device_pipeline_batch(
-            a, b, c, pipe.params, pipe.mean, cfg))
+    if breakdown:
+        fused = jax.jit(lambda a, b, c, pp, mm: device_pipeline_batch(
+            a, b, c, pp, mm, cfg))
         t0 = time.time()
-        readback(fused(l, lp, m))
+        readback(fused(l, lp, m, wparams, wmean))
         compile_fused_s = time.time() - t0
         t0 = time.time()
         for _ in range(iters):
-            readback(fused(l, lp, m))
+            readback(fused(l, lp, m, wparams, wmean))
         dt_fused = time.time() - t0
         fused_ips = batch * iters / dt_fused
 
     # ---- breakdown: host C++ LSD (the alternative detection path) ----
     from vanishing_points_2017_tpu.data import io as dio
     t0 = time.time()
-    det = dio.detect_lsd_lines(imgs_np[0].astype(np.float64))
+    det = dio.detect_lsd_lines(imgs_np[0].astype(np_.float64))
     lsd_s = time.time() - t0
 
     # ---- MFU estimate from XLA's own cost analysis (same executables) ----
@@ -254,22 +259,23 @@ def main() -> int:
             flops += float(cost.get("flops", 0.0))
         if flops > 0:
             flops_per_img = flops / batch
-            peak = float(os.environ.get("BENCH_PEAK_FLOPS", "197e12"))
-            mfu = (flops * iters / dt_full) / peak
+            if platform != "cpu":
+                peak = float(os.environ.get("BENCH_PEAK_FLOPS", "197e12"))
+                mfu = (flops * iters / dt_full) / peak
     except Exception:
         pass
 
+    device_kind = jax.devices()[0].device_kind
     sys.stderr.write(
-        f"device={jax.devices()[0].device_kind} batch={batch} iters={iters} "
-        f"size={size} compile_full={compile_full_s:.1f}s "
+        f"bench[{platform}/{split}]: device={device_kind} batch={batch} "
+        f"iters={iters} size={size} compile_full={compile_full_s:.1f}s "
         f"first_exec={first_exec_s:.1f}s "
-        f"compile_fused={compile_fused_s} "
-        f"e2e={e2e_ips:.2f} img/s fused={fused_ips} img/s "
+        f"e2e={e2e_ips:.2f} img/s fused={fused_ips} "
         f"lsd_host={lsd_s * 1000:.0f}ms/img "
         f"({det['segments'].shape[0]} segs) "
         f"mfu={mfu if mfu is None else round(mfu, 4)}\n")
 
-    print(json.dumps({
+    return {
         "metric": "end_to_end_images_per_sec",
         "value": round(e2e_ips, 3),
         "unit": "images/s",
@@ -277,12 +283,16 @@ def main() -> int:
         "baseline_note": ("vs_baseline divides by the DOCUMENTED ESTIMATE "
                           "0.2 img/s (reference cannot run here; "
                           "BASELINE.md)"),
+        "degraded": platform == "cpu",
         "breakdown": {
             "includes_detection": True,
+            "platform": platform,
+            "device": device_kind,
             "orchestration": {"1": "fused", "2": "two_program",
-                "3": "three_program"}.get(split, split),
+                              "3": "three_program"}.get(split, split),
             "image_size": size,
             "batch": batch,
+            "em_kernel": cfg.em.kernel,
             "fused_device_images_per_sec":
                 None if fused_ips is None else round(fused_ips, 3),
             "host_lsd_ms_per_image": round(lsd_s * 1000, 1),
@@ -293,9 +303,196 @@ def main() -> int:
             "flops_per_image": flops_per_img,
             "mfu_estimate": None if mfu is None else round(mfu, 4),
         },
-    }))
+    }
+
+
+def worker_main(spec_path: str) -> int:
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    rec = measure(spec["platform"], spec["split"], spec["batch"],
+                  spec["iters"], spec["size"], spec["breakdown"])
+    tmp = spec["outfile"] + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, spec["outfile"])
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parent: deadline supervisor — never imports jax, always emits the JSON
+# --------------------------------------------------------------------------
+
+class _Attempt:
+    def __init__(self, name: str, platform: str, split: str, batch: int,
+                 iters: int, size: int, breakdown: bool):
+        self.name, self.platform, self.split = name, platform, split
+        self.batch, self.iters, self.size = batch, iters, size
+        self.breakdown = breakdown
+        self.proc: subprocess.Popen | None = None
+        self.outfile = ""
+        self.deadline_at = 0.0
+        self.status = "pending"
+
+    def start(self, slice_s: float, workdir: str) -> None:
+        spec = {"platform": self.platform, "split": self.split,
+                "batch": self.batch, "iters": self.iters, "size": self.size,
+                "breakdown": self.breakdown,
+                "outfile": os.path.join(workdir, f"{self.name}.json")}
+        self.outfile = spec["outfile"]
+        spec_path = os.path.join(workdir, f"{self.name}.spec.json")
+        with open(spec_path, "w") as fh:
+            json.dump(spec, fh)
+        self.deadline_at = time.time() + slice_s
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             spec_path],
+            stdout=sys.stderr, stderr=sys.stderr)
+        self.status = "running"
+        sys.stderr.write(f"bench: started {self.name} "
+                         f"(slice {slice_s:.0f}s)\n")
+
+    def poll(self) -> str:
+        """-> running|done|failed|timeout (kills the child on timeout)."""
+        if self.status != "running":
+            return self.status
+        rc = self.proc.poll()
+        if rc is None:
+            if time.time() > self.deadline_at:
+                self.kill()
+                self.status = "timeout"
+            return self.status
+        if rc == 0 and os.path.isfile(self.outfile):
+            self.status = "done"
+        else:
+            self.status = "failed"
+        sys.stderr.write(f"bench: {self.name} -> {self.status} (rc={rc})\n")
+        return self.status
+
+    def kill(self) -> None:
+        if self.proc is not None and self.proc.poll() is None:
+            sys.stderr.write(f"bench: killing {self.name} "
+                             f"(slice expired)\n")
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
+                self.proc.wait()
+
+    def result(self) -> dict | None:
+        if self.status == "done":
+            with open(self.outfile) as fh:
+                return json.load(fh)
+        return None
+
+
+def _emit(record: dict) -> None:
+    print(json.dumps(record))
+    sys.stdout.flush()
+
+
+def _degraded_stub(note: str) -> dict:
+    return {
+        "metric": "end_to_end_images_per_sec",
+        "value": None,
+        "unit": "images/s",
+        "vs_baseline": None,
+        "degraded": True,
+        "baseline_note": ("no orchestration landed before the deadline: "
+                          + note),
+        "breakdown": {"elapsed_s": round(time.time() - _START, 1)},
+    }
+
+
+def parent_main() -> int:
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", "640"))
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "0") == "1"
+    tpu_split = "1" if os.environ.get("BENCH_FUSED", "0") == "1" else "2"
+
+    workdir = tempfile.mkdtemp(prefix="bench_")
+    best: dict | None = None
+
+    def best_or_stub() -> dict:
+        return best if best is not None else _degraded_stub(
+            "all attempts failed or timed out")
+
+    def on_term(signum, frame):
+        sys.stderr.write(f"bench: signal {signum} — emergency emit\n")
+        for a in attempts:
+            a.kill()
+        _emit(best_or_stub())
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    # Reserve wall clock for the final emit + a post-failure fallback.
+    RESERVE = 20.0
+    cpu_batch = int(os.environ.get("BENCH_CPU_BATCH", "4"))
+    cpu_iters = int(os.environ.get("BENCH_CPU_ITERS", "2"))
+
+    tpu1 = _Attempt("tpu_primary", "axon", tpu_split, batch, iters, size,
+                    breakdown)
+    tpu2 = _Attempt("tpu_fallback3", "axon", "3", batch, iters, size, False)
+    cpu = _Attempt("cpu_fallback", "cpu", "2", cpu_batch, cpu_iters, size,
+                   False)
+    attempts = [tpu1, tpu2, cpu]
+
+    # CPU fallback runs in parallel from t=0 (it never touches the TPU, so
+    # it cannot interfere with the grant); it banks a guaranteed number.
+    if os.environ.get("BENCH_CPU_FALLBACK", "1") == "1":
+        cpu.start(min(_remaining() - RESERVE, 600.0), workdir)
+    else:
+        cpu.status = "failed"
+
+    # TPU primary gets the bulk of the deadline, minus room for the
+    # three-program fallback if the composed program starves (~120 s of
+    # compiles when only the composition path is degraded).
+    t1_slice = max(60.0, min(_remaining() - RESERVE - 180.0,
+                             float(os.environ.get("BENCH_T1_SLICE", "420"))))
+    tpu1.start(t1_slice, workdir)
+
+    tpu_result: dict | None = None
+    while _remaining() > RESERVE:
+        s1 = tpu1.poll()
+        if s1 == "done":
+            tpu_result = tpu1.result()
+            break
+        if s1 in ("failed", "timeout") and tpu2.status == "pending":
+            if _remaining() > RESERVE + 120.0:
+                # NB: if tpu1 was killed mid-grant the axon grant can be
+                # wedged for ~3-5 min; tpu2's first device op blocks until
+                # it recovers — that wait comes out of tpu2's slice.
+                tpu2.start(_remaining() - RESERVE - 10.0, workdir)
+            else:
+                tpu2.status = "failed"
+        s2 = tpu2.poll()
+        if s2 == "done":
+            tpu_result = tpu2.result()
+            break
+        cs = cpu.poll()
+        if cs == "done" and best is None:
+            best = cpu.result()
+            sys.stderr.write("bench: CPU fallback number banked "
+                             f"({best['value']} img/s)\n")
+        if s2 in ("failed", "timeout") and s1 in ("failed", "timeout") \
+                and cs in ("done", "failed", "timeout"):
+            break  # nothing left to wait for
+        time.sleep(2.0)
+
+    for a in attempts:
+        a.kill()
+    if tpu_result is not None:
+        best = tpu_result
+    elif best is None and cpu.poll() == "done":
+        best = cpu.result()
+    _emit(best_or_stub())
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        raise SystemExit(worker_main(sys.argv[2]))
+    raise SystemExit(parent_main())
