@@ -8,6 +8,15 @@ CNN forward -> EM with split/merge -> horizon out), i.e. everything the
 reference pipeline does after image decode (SURVEY §3.1), including the
 host->device image transfer per batch.
 
+Timing semantics (round 3): the headline is PIPELINED throughput —
+every batch's H2D + compute dispatched back-to-back, all results read
+back at the end, like a prefetching data loader. The serialized
+latency-semantics number (round-1/2 headline) and a compute-only
+device-resident number are in the breakdown. Rationale + measured
+accounting: scripts/profile_e2e.py and BASELINE.md (the axon tunnel
+moves ~10-30 MB/s H2D, so the serialized loop is transfer-bound while
+the pipelined loop is compute-bound).
+
 Prints ONE JSON line with the required keys {"metric", "value", "unit",
 "vs_baseline"} plus a "breakdown" object (stage splits, FLOPs/img, MFU
 estimate) and "baseline_note" marking the denominator as an estimate.
@@ -219,11 +228,38 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
     t0 = time.time()
     readback(run_e2e(imgs_dev0))
     first_exec_s = time.time() - t0  # includes the axon server setup
+
+    # Serialized loop: H2D + compute + readback round-trip per batch
+    # (latency semantics — each batch fully completes before the next
+    # is dispatched; was the round-1/2 headline).
     t0 = time.time()
     for _ in range(iters):
         readback(run_e2e(jnp.asarray(imgs_host)))  # includes H2D each iter
+    dt_serial = time.time() - t0
+    serial_ips = batch * iters / dt_serial
+
+    # Pipelined loop: every batch's H2D + compute is dispatched
+    # back-to-back and ALL results are read back at the end — standard
+    # throughput semantics (transfers overlap compute, exactly what a
+    # prefetching data loader does). Still includes every H2D and every
+    # result readback; this is the headline. Measured on the axon
+    # tunnel (~10-30 MB/s H2D) this is compute-bound where the serial
+    # loop is transfer-bound (scripts/profile_e2e.py).
+    t0 = time.time()
+    outs = [run_e2e(jnp.asarray(imgs_host)) for _ in range(iters)]
+    for o in outs:
+        readback(o)
     dt_full = time.time() - t0
     e2e_ips = batch * iters / dt_full
+
+    # Compute-only: device-resident inputs, one readback at the end —
+    # the number that survives on real (non-tunneled) TPU hosts where
+    # PCIe H2D is not the bottleneck.
+    t0 = time.time()
+    outs = [run_e2e(imgs_dev0) for _ in range(iters)]
+    for o in outs:
+        readback(o)
+    compute_ips = batch * iters / (time.time() - t0)
 
     # ---- breakdown: fused device program on pre-extracted lines ----
     # (a second big program = a second axon server setup; opt-IN)
@@ -270,7 +306,8 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
         f"bench[{platform}/{split}]: device={device_kind} batch={batch} "
         f"iters={iters} size={size} compile_full={compile_full_s:.1f}s "
         f"first_exec={first_exec_s:.1f}s "
-        f"e2e={e2e_ips:.2f} img/s fused={fused_ips} "
+        f"e2e={e2e_ips:.2f} img/s (serial={serial_ips:.2f}, "
+        f"compute={compute_ips:.2f}) fused={fused_ips} "
         f"lsd_host={lsd_s * 1000:.0f}ms/img "
         f"({det['segments'].shape[0]} segs) "
         f"mfu={mfu if mfu is None else round(mfu, 4)}\n")
@@ -286,6 +323,8 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
         "degraded": platform == "cpu",
         "breakdown": {
             "includes_detection": True,
+            "timing_semantics": "pipelined (all H2D+compute dispatched "
+                                "back-to-back, all results read back)",
             "platform": platform,
             "device": device_kind,
             "orchestration": {"1": "fused", "2": "two_program",
@@ -293,6 +332,8 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
             "image_size": size,
             "batch": batch,
             "em_kernel": cfg.em.kernel,
+            "serial_images_per_sec": round(serial_ips, 3),
+            "compute_images_per_sec": round(compute_ips, 3),
             "fused_device_images_per_sec":
                 None if fused_ips is None else round(fused_ips, 3),
             "host_lsd_ms_per_image": round(lsd_s * 1000, 1),
@@ -405,7 +446,7 @@ def _degraded_stub(note: str) -> dict:
 
 
 def parent_main() -> int:
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "640"))
     breakdown = os.environ.get("BENCH_BREAKDOWN", "0") == "1"

@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
-"""Split the device detector's cost: gradient+CCL vs selection vs moments.
+"""Sub-stage timings inside the device line detector.
 
-Times truncated variants of ``detect_segments_device`` as separate jitted
-programs (each pays the axon per-program setup once) so the differences
-give the per-stage device cost. Use PROF_* env vars to size the run.
+Times front (blur+gradient+edge activation), CCL, run-record selection
++ moments, and the whole detector — plus tuning variants (ccl_passes,
+runs_per_row) — each as its own jitted program with a readback forcing
+completion. Feeds the detector optimization work (TODO item 3 /
+VERDICT r2 item 4).
+
+Env: PROF_BATCH=16, PROF_ITERS=8, PROF_IMAGE_SIZE=640, PROF_PLATFORM.
 """
-
 from __future__ import annotations
 
 import math
@@ -19,6 +22,9 @@ import numpy as np
 
 
 def main() -> int:
+    if os.environ.get("PROF_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["PROF_PLATFORM"])
     batch = int(os.environ.get("PROF_BATCH", "16"))
     iters = int(os.environ.get("PROF_ITERS", "8"))
     size = int(os.environ.get("PROF_IMAGE_SIZE", "640"))
@@ -34,68 +40,77 @@ def main() -> int:
     from vanishing_points_2017_tpu.ops import lines_device as ld
 
     rng = np.random.default_rng(0)
-    imgs = np.stack([
-        render_scene_image(synth.make_scene(
-            rng, lines_per_vp=int(rng.integers(30, 60)),
-            outliers=int(rng.integers(10, 30))), size=size, rng=rng)
-        for _ in range(batch)]).astype(np.float32)
-    images = jnp.asarray(imgs)
+    imgs = [render_scene_image(
+        synth.make_scene(rng, lines_per_vp=int(rng.integers(30, 60)),
+                         outliers=int(rng.integers(10, 30))),
+        size=size, rng=rng) for _ in range(batch)]
+    images = jnp.asarray(np.stack(imgs).astype(np.float32))
 
+    n_pad = 512
     tol = math.radians(ld.TOL_DEG)
     cos_tol = math.cos(tol)
 
-    def front(image):
-        """gradient + activation + directions (shared prologue)."""
-        img = ld._gaussian_blur(image.astype(jnp.float32), 1.0)
-        com1 = img[1:, 1:] - img[:-1, :-1]
-        com2 = img[:-1, 1:] - img[1:, :-1]
-        gx, gy = 0.5 * (com1 + com2), 0.5 * (com1 - com2)
+    def front(img):
+        im = ld._gaussian_blur(img, 1.0)
+        com1 = im[1:, 1:] - im[:-1, :-1]
+        com2 = im[:-1, 1:] - im[1:, :-1]
+        gx = 0.5 * (com1 + com2)
+        gy = 0.5 * (com1 - com2)
         mag = jnp.sqrt(gx * gx + gy * gy)
         active = mag > ld.QUANT / math.sin(tol)
         inv = jnp.where(mag > 0, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
         return active, gx * inv, -gy * inv, mag
 
-    def upto_ccl(image, passes=8):
-        active, ux, uy, mag = front(image)
-        root = ld._connected_components(active, ux, uy, cos_tol, passes)
-        return jnp.sum(root)
+    def ccl(active, ux, uy, passes):
+        return ld._connected_components(active, ux, uy, cos_tol, passes)
 
-    def upto_select(image):
-        active, ux, uy, mag = front(image)
-        hh, ww = active.shape
-        root = ld._connected_components(active, ux, uy, cos_tol, 8)
-        wgt = jnp.where(active, mag / 255.0, 0.0)
-        sc = max(image.shape) / 2.0
-        ys_i, xs_i = jnp.meshgrid(jnp.arange(hh, dtype=jnp.float32),
-                                  jnp.arange(ww, dtype=jnp.float32),
+    def stats(img, root, mag, active, runs_per_row):
+        h, w = img.shape
+        hi, wi = h - 1, w - 1
+        s = max(h, w) / 2.0
+        ys_i, xs_i = jnp.meshgrid(jnp.arange(hi, dtype=jnp.float32),
+                                  jnp.arange(wi, dtype=jnp.float32),
                                   indexing="ij")
-        xn2 = ((xs_i + 0.5) - image.shape[1] / 2.0) / sc
-        yn2 = -((ys_i + 0.5) - image.shape[0] / 2.0) / sc
-        st = ld._component_stats(root, wgt.reshape(-1), xn2, yn2, 512,
-                                 (hh, ww))
-        return st["mass"].sum() + st["tmax"].sum()
+        xn2 = ((xs_i + 0.5) - w / 2.0) / s
+        yn2 = -((ys_i + 0.5) - h / 2.0) / s
+        wgt = jnp.where(active, mag / 255.0, 0.0)
+        return ld._component_stats(root, wgt.reshape(-1), xn2, yn2, n_pad,
+                                   (hi, wi), runs_per_row=runs_per_row)
 
     def bench(name, fn, *args):
-        f = jax.jit(jax.vmap(fn))
         t0 = time.time()
-        out = f(*args)
-        np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        setup_s = time.time() - t0
+        out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(iters):
-            out = f(*args)
-            np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+            out = fn(*args)
+            float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
         dt = (time.time() - t0) / iters
-        print(f"{name:>22}: {dt * 1000 / batch:8.3f} ms/img "
-              f"({dt * 1000:9.2f} ms/batch, setup {setup_s:.1f}s)",
+        print(f"{name:>34}: {dt * 1000 / batch:7.3f} ms/img "
+              f"({dt * 1000:8.2f} ms/batch, compile {compile_s:.1f}s)",
               flush=True)
+        return out
 
-    bench("gradient front", lambda im: front(im)[3], images)
-    bench("+ccl(2 passes)", lambda im: upto_ccl(im, 2), images)
-    bench("+ccl(8 passes)", upto_ccl, images)
-    bench("+selection", upto_select, images)
-    bench("full detector", lambda im: ld.detect_segments_device(
-        im, max_segments=512)[0], images)
+    front_j = jax.jit(jax.vmap(front))
+    active, ux, uy, mag = bench("front (blur+grad)", front_j, images)
+
+    for passes in (8, 4, 2):
+        bench(f"ccl passes={passes}",
+              jax.jit(jax.vmap(lambda a, x, y, p=passes: ccl(a, x, y, p))),
+              active, ux, uy)
+    root = jax.vmap(lambda a, x, y: ccl(a, x, y, 8))(active, ux, uy)
+
+    for rpr in (64, 32):
+        bench(f"stats runs_per_row={rpr}",
+              jax.jit(jax.vmap(lambda im, r, m, a, k=rpr: stats(
+                  im, r, m, a, k))),
+              images, root, mag, active)
+
+    det = jax.jit(jax.vmap(
+        lambda im: ld.detect_segments_device(im, max_segments=n_pad)))
+    bench("whole detector", det, images)
     return 0
 
 
