@@ -342,13 +342,26 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     rec_x1 = take(xn2).reshape(-1)
     rec_y = take(yn2).reshape(-1)
 
-    # ---- one sort by root groups each component's records contiguously
-    srt = jax.lax.sort([rec_root, *rec_q, rec_x0, rec_x1, rec_y],
-                       num_keys=1)
-    rs = srt[0]
-    sq = jnp.stack(srt[1:8], axis=0)                          # (7, R)
-    sx0, sx1, sy = srt[8], srt[9], srt[10]
-    n_rec = rs.shape[0]
+    # ---- one sort by root groups each component's records contiguously.
+    # On TPU every XLA-level reorder strategy (11-operand lax.sort,
+    # 2-operand sort + payload gather on either axis) measured the same
+    # ~5.3 ms/img — per-HLO-op dispatch overhead through the sorting
+    # network, not data volume. The fused Pallas bitonic kernel
+    # (ops/sort_pallas.py) runs the identical network as one kernel at
+    # ~0.3 ms/img. CPU keeps the multi-operand lax.sort (a real
+    # quicksort there, and Mosaic kernels do not run on CPU).
+    n_rec = rec_root.shape[0]
+    payload = jnp.stack([*rec_q, rec_x0, rec_x1, rec_y], axis=0)  # (10, R)
+    if jax.default_backend() == "tpu":
+        from .sort_pallas_wrap import sort_records
+        rs, payload = sort_records(rec_root, payload)
+    else:
+        srt = jax.lax.sort([rec_root] + [payload[i] for i in range(10)],
+                           num_keys=1)
+        rs = srt[0]
+        payload = jnp.stack(srt[1:], axis=0)
+    sq = payload[:7]                                          # (7, R)
+    sx0, sx1, sy = payload[7], payload[8], payload[9]
     log_r = max(1, math.ceil(math.log2(n_rec)))
     gconn = jnp.concatenate(
         [jnp.zeros((1,), bool), rs[1:] == rs[:-1]])
