@@ -342,24 +342,38 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     rec_x1 = take(xn2).reshape(-1)
     rec_y = take(yn2).reshape(-1)
 
-    # ---- one sort by root groups each component's records contiguously.
-    # On TPU every XLA-level reorder strategy (11-operand lax.sort,
-    # 2-operand sort + payload gather on either axis) measured the same
-    # ~5.3 ms/img — per-HLO-op dispatch overhead through the sorting
-    # network, not data volume. The fused Pallas bitonic kernel
-    # (ops/sort_pallas.py) runs the identical network as one kernel at
-    # ~0.3 ms/img. CPU keeps the multi-operand lax.sort (a real
-    # quicksort there, and Mosaic kernels do not run on CPU).
+    # ---- one sort by root groups each component's records contiguously,
+    # then per-group reductions. On TPU every XLA-level strategy for the
+    # reorder (11-operand lax.sort, 2-operand sort + payload gather on
+    # either axis) measured the same ~5.3 ms/img — per-HLO-op dispatch
+    # overhead through the sorting network, not data volume — and the
+    # downstream doubling-step reductions another ~1.5 ms/img of the
+    # same. The fused Pallas path (ops/sort_pallas.py bitonic network +
+    # ops/group_stats_pallas.py reductions, one packed layout
+    # throughout) replaces everything up to the final top-k. CPU keeps
+    # the XLA path (lax.sort is a real quicksort there, and Mosaic
+    # kernels do not run on CPU).
     n_rec = rec_root.shape[0]
     payload = jnp.stack([*rec_q, rec_x0, rec_x1, rec_y], axis=0)  # (10, R)
-    if jax.default_backend() == "tpu":
-        from .sort_pallas_wrap import sort_records
-        rs, payload = sort_records(rec_root, payload)
-    else:
-        srt = jax.lax.sort([rec_root] + [payload[i] for i in range(10)],
-                           num_keys=1)
-        rs = srt[0]
-        payload = jnp.stack(srt[1:], axis=0)
+    import os as _os
+    use_pallas = jax.default_backend() == "tpu" and \
+        _os.environ.get("VP_SORT_IMPL", "pallas") != "xla"
+    if use_pallas:
+        from .group_stats_pallas import group_stats
+        ch = group_stats(rec_root, payload)            # (11, R)
+        top, pos = jax.lax.top_k(ch[0], max_segments)  # score
+        sel = lambda a: a[pos]
+        return {
+            "valid": top > 0.0, "root": sel(ch[1]).astype(jnp.int32),
+            "mass": sel(ch[2]), "cnt": sel(ch[3]),
+            "cx": sel(ch[4]), "cy": sel(ch[5]),
+            "ddx": sel(ch[6]), "ddy": sel(ch[7]),
+            "lam_min": sel(ch[8]), "tmin": sel(ch[9]), "tmax": sel(ch[10]),
+        }
+    srt = jax.lax.sort([rec_root] + [payload[i] for i in range(10)],
+                       num_keys=1)
+    rs = srt[0]
+    payload = jnp.stack(srt[1:], axis=0)
     sq = payload[:7]                                          # (7, R)
     sx0, sx1, sy = payload[7], payload[8], payload[9]
     log_r = max(1, math.ceil(math.log2(n_rec)))

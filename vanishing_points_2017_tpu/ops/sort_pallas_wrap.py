@@ -44,6 +44,9 @@ def _sort_records_vmap(axis_size, in_batched, keys, payload):
         keys = jnp.broadcast_to(keys, (axis_size,) + keys.shape)
     if not pb:
         payload = jnp.broadcast_to(payload, (axis_size,) + payload.shape)
+    # barrier: without it XLA may fuse/rematerialize the (expensive)
+    # record-producing prefix into every iteration of the map loop
+    keys, payload = jax.lax.optimization_barrier((keys, payload))
     ks, ps = jax.lax.map(lambda args: sort_records_pallas(*args),
                          (keys, payload))
     return (ks, ps), (True, True)
