@@ -33,6 +33,10 @@ def main() -> int:
                     help="comma list: host, full, ideal")
     ap.add_argument("--em_kernel", default="xla",
                     help="EM plain-phase backend: xla | pallas")
+    ap.add_argument("--cnn_dtype", default=None,
+                    help="override PipelineConfig.cnn_dtype "
+                         "(float32 | bfloat16) for the bf16-default "
+                         "AUC-delta measurement")
     args = ap.parse_args()
 
     if args.device:
@@ -60,6 +64,9 @@ def main() -> int:
         from vanishing_points_2017_tpu.em import EMConfig
         cfg = dataclasses.replace(
             cfg, em=dataclasses.replace(cfg.em, kernel=args.em_kernel))
+    if args.cnn_dtype:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, cnn_dtype=args.cnn_dtype)
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
     paths = args.paths.split(",")

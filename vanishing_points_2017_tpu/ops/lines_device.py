@@ -223,6 +223,52 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
     return lab.reshape(-1)
 
 
+def _use_pallas_ccl() -> bool:
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("VP_CCL_IMPL", "pallas") != "xla")
+
+
+@functools.lru_cache(maxsize=None)
+def _ccl_dispatch_factory(cos_tol: float, passes: int):
+    """CCL backend dispatch (cos_tol/passes static via this factory).
+
+    Unbatched: XLA raster scan (also covers the rare direct single-image
+    call on TPU — a batch of 1 would waste the kernel's vector width
+    anyway). Batched under vmap on TPU: the batch-vectorized Pallas
+    kernel (ops/ccl_pallas.py), which processes the same row of every
+    image as one (B, W) vector op instead of B serialized (1, W) scan
+    steps."""
+
+    @jax.custom_batching.custom_vmap
+    def dispatch(active, ux, uy):
+        return _connected_components(active, ux, uy, cos_tol, passes)
+
+    @dispatch.def_vmap
+    def _vmap(axis_size, in_batched, active, ux, uy):
+        ab, xb, yb = in_batched
+        if not ab:
+            active = jnp.broadcast_to(active, (axis_size,) + active.shape)
+        if not xb:
+            ux = jnp.broadcast_to(ux, (axis_size,) + ux.shape)
+        if not yb:
+            uy = jnp.broadcast_to(uy, (axis_size,) + uy.shape)
+        if _use_pallas_ccl():
+            from .ccl_pallas import connected_components_pallas_batch
+            out = connected_components_pallas_batch(active, ux, uy,
+                                                    cos_tol, passes)
+        else:
+            out = jax.vmap(lambda a, x, y: _connected_components(
+                a, x, y, cos_tol, passes))(active, ux, uy)
+        return out, True
+
+    return dispatch
+
+
+def _ccl_dispatch(active, ux, uy, cos_tol, passes):
+    return _ccl_dispatch_factory(float(cos_tol), int(passes))(active, ux, uy)
+
+
 def ccl_fixpoint_residual(active: jnp.ndarray, ux: jnp.ndarray,
                           uy: jnp.ndarray, cos_tol: float,
                           labels: jnp.ndarray) -> jnp.ndarray:
@@ -488,8 +534,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # pixels can differ by up to 2*tol (triangle inequality); the pairwise
     # predicate defaults to 2*tol or residual staircase wobble (which
     # alternates between the two +-tol extremes) fragments regions.
-    root = _connected_components(
-        active, ux, uy, math.cos(pair_tol_factor * tol), ccl_passes)
+    root = _ccl_dispatch(active, ux, uy, math.cos(pair_tol_factor * tol),
+                         ccl_passes)
     if check_fixpoint:
         resid = ccl_fixpoint_residual(active, ux, uy,
                                       math.cos(pair_tol_factor * tol), root)
