@@ -100,6 +100,17 @@ def main() -> int:
         bench(f"ccl passes={passes}",
               jax.jit(jax.vmap(lambda a, x, y, p=passes: ccl(a, x, y, p))),
               active, ux, uy)
+    if jax.default_backend() != "cpu":
+        from vanishing_points_2017_tpu.ops.ccl_pallas import (
+            connected_components_pallas_batch)
+        for passes in (8, 4):
+            for rpb in (8, 16):
+                bench(f"ccl pallas p={passes} rpb={rpb}",
+                      jax.jit(lambda a, x, y, p=passes, r=rpb:
+                              connected_components_pallas_batch(
+                                  a, x, y, cos_tol, passes=p,
+                                  rows_per_block=r)),
+                      active, ux, uy)
     root = jax.vmap(lambda a, x, y: ccl(a, x, y, 8))(active, ux, uy)
 
     for rpr in (64, 32):
