@@ -88,6 +88,51 @@ def test_sharded_lsim_matches_dense():
 
 
 @pytest.mark.slow
+def test_sharded_inference_matches_single_device():
+    """The serving-scale path (parallel/inference.py): the zero-host-
+    round-trip pipeline dp-sharded over a (4, 2) mesh — with fc6/fc7
+    tp-sharded — must produce the single-device program's outputs (dp
+    partitions independent per-image programs; tp only reorders the
+    fc6/fc7 reductions, so horizons must agree to f32 tolerance)."""
+    from vanishing_points_2017_tpu.models import cnn, synth
+    from vanishing_points_2017_tpu.data.datasets import render_scene_image
+    from vanishing_points_2017_tpu.pipeline import (PipelineConfig,
+                                                    device_pipeline_full)
+    from vanishing_points_2017_tpu.em import EMConfig
+    from vanishing_points_2017_tpu.parallel.inference import (
+        sharded_pipeline_full)
+
+    rng = np.random.default_rng(7)
+    imgs = np.stack([
+        render_scene_image(synth.make_scene(rng, lines_per_vp=10,
+                                            outliers=3),
+                           size=160, rng=rng).astype(np.uint8)
+        for _ in range(8)])
+    cfg = PipelineConfig(sphere_size=200, n_pad=128,
+                         em=EMConfig(num_iter=12))
+    params = cnn.init_params(jax.random.PRNGKey(0), input_size=200)
+    mean = np.zeros((200, 200), np.float32)
+
+    want = device_pipeline_full(jnp.asarray(imgs), params,
+                                jnp.asarray(mean), cfg=cfg)
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    got = sharded_pipeline_full(mesh, jnp.asarray(imgs), params, mean, cfg)
+
+    assert got["hp1"].sharding.is_equivalent_to(
+        pmesh.batch_sharding(mesh), got["hp1"].ndim)
+    np.testing.assert_array_equal(np.asarray(got["em_valid"]),
+                                  np.asarray(want["em_valid"]))
+    for key, atol in (("hp1", 5e-4), ("hp2", 5e-4), ("vp", 5e-4),
+                      ("counts", 1.5)):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]), atol=atol,
+                                   err_msg=key)
+
+    with pytest.raises(ValueError):
+        sharded_pipeline_full(mesh, jnp.asarray(imgs[:6]), params, mean, cfg)
+
+
+@pytest.mark.slow
 def test_dryrun_multiprocess_dcn():
     """The multi-slice/DCN analogue (VERDICT r2 item 6): 2 separate
     processes x 2 virtual devices, jax.distributed over a localhost

@@ -18,7 +18,10 @@ def _check(keys, pay, ks, ps):
         assert got == want, f"lane {i} diverged"
 
 
-@pytest.mark.parametrize("r,l", [(300, 3), (256, 1), (4096, 10)])
+@pytest.mark.parametrize(
+    "r,l",
+    [(300, 3), (256, 1),
+     pytest.param(4096, 10, marks=pytest.mark.slow)])  # 87 s in interpret
 def test_sort_records_random(r, l):
     rng = np.random.default_rng(r + l)
     keys = rng.integers(-1, 400_000, r).astype(np.int32)
