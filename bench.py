@@ -350,6 +350,9 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
 def worker_main(spec_path: str) -> int:
     with open(spec_path) as fh:
         spec = json.load(fh)
+    # env overrides (e.g. VP_CCL_IMPL/VP_SORT_IMPL=xla on the fallback
+    # rung) take effect here: the detector reads them at trace time
+    os.environ.update(spec.get("env", {}))
     rec = measure(spec["platform"], spec["split"], spec["batch"],
                   spec["iters"], spec["size"], spec["breakdown"])
     tmp = spec["outfile"] + ".tmp"
@@ -365,10 +368,12 @@ def worker_main(spec_path: str) -> int:
 
 class _Attempt:
     def __init__(self, name: str, platform: str, split: str, batch: int,
-                 iters: int, size: int, breakdown: bool):
+                 iters: int, size: int, breakdown: bool,
+                 env: dict | None = None):
         self.name, self.platform, self.split = name, platform, split
         self.batch, self.iters, self.size = batch, iters, size
         self.breakdown = breakdown
+        self.env = env or {}
         self.proc: subprocess.Popen | None = None
         self.outfile = ""
         self.deadline_at = 0.0
@@ -377,7 +382,7 @@ class _Attempt:
     def start(self, slice_s: float, workdir: str) -> None:
         spec = {"platform": self.platform, "split": self.split,
                 "batch": self.batch, "iters": self.iters, "size": self.size,
-                "breakdown": self.breakdown,
+                "breakdown": self.breakdown, "env": self.env,
                 "outfile": os.path.join(workdir, f"{self.name}.json")}
         self.outfile = spec["outfile"]
         spec_path = os.path.join(workdir, f"{self.name}.spec.json")
@@ -476,7 +481,11 @@ def parent_main() -> int:
 
     tpu1 = _Attempt("tpu_primary", "axon", tpu_split, batch, iters, size,
                     breakdown)
-    tpu2 = _Attempt("tpu_fallback3", "axon", "3", batch, iters, size, False)
+    # the fallback rung strips every Pallas kernel (VP_*=xla): covers both
+    # a degraded compile service (smallest programs) AND a Mosaic rejection
+    # of the detector kernels on the real chip
+    tpu2 = _Attempt("tpu_fallback3", "axon", "3", batch, iters, size, False,
+                    env={"VP_CCL_IMPL": "xla", "VP_SORT_IMPL": "xla"})
     cpu = _Attempt("cpu_fallback", "cpu", "2", cpu_batch, cpu_iters, size,
                    False)
     attempts = [tpu1, tpu2, cpu]

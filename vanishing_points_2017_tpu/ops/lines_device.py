@@ -356,10 +356,13 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     """
     h, w = shape
     if runs_per_row is None:
-        # scale the per-row record budget with the slot budget: a row can
-        # only exceed this with > max_segments/8 distinct nonzero-mass
-        # runs crossing it, far beyond the densest measured scenes
-        runs_per_row = max(64, max_segments // 8)
+        # per-row record budget: measured p99 nonzero-run count per row is
+        # 44 at 640x640 (TODO item 3, round 3) and outputs at 48 are
+        # bit-identical to 64 across 16 rendered scenes, while the record
+        # count H*k sets the bitonic sort's padded size on TPU (638*48 ->
+        # 32768 vs 638*64 -> 65536, ~1.8x less sort work). Still scales
+        # with the slot budget for dense-scene configurations.
+        runs_per_row = max(48, max_segments // 16)
     f32 = jnp.float32
     r2 = root.reshape(h, w)
     w2 = wgt.reshape(h, w)
@@ -500,7 +503,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
 
     Segments are sorted by decreasing accumulated gradient mass.
     ``runs_per_row`` bounds the per-row run-record budget of the selection
-    stage (default max(64, max_segments/8)); rows denser than that drop
+    stage (default max(48, max_segments/16)); rows denser than that drop
     their weakest runs, so dense-scene users can raise it explicitly.
     ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
     raster passes did not reach the CCL fixpoint (debug aid; the passes
