@@ -48,5 +48,21 @@ def sharded_pipeline_full(mesh: Mesh, images: jnp.ndarray, params: Any,
         lambda im, p, mn: device_pipeline_full(im, p, mn, cfg=cfg),
         in_shardings=(img_s, params_shardings(params, mesh), repl),
     )
-    return fn(jax.device_put(images, img_s), shard_params(params, mesh),
-              jax.device_put(jnp.asarray(mean), repl))
+    # The detector's Pallas kernels (ccl_pallas, sort/group_stats) carry
+    # no SPMD partitioning rules, so the GSPMD partitioner cannot split
+    # them over dp — force the (identically-valued, fully partitionable)
+    # XLA implementations for THIS trace only. Env is read at trace time
+    # by the dispatch shims; cached executions never re-read it.
+    import os
+    saved = {k: os.environ.get(k) for k in ("VP_CCL_IMPL", "VP_SORT_IMPL")}
+    os.environ["VP_CCL_IMPL"] = "xla"
+    os.environ["VP_SORT_IMPL"] = "xla"
+    try:
+        return fn(jax.device_put(images, img_s), shard_params(params, mesh),
+                  jax.device_put(jnp.asarray(mean), repl))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
