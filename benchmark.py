@@ -138,8 +138,16 @@ def main() -> int:
         else:
             groups = [(None, todo[i:i + args.batch])
                       for i in range(0, len(todo), args.batch)]
+        # PIPELINED dispatch: every batch's H2D + compute is enqueued
+        # back-to-back, results are read back afterwards — the transfer
+        # hides behind compute instead of serializing with it (same
+        # timing semantics as bench.py's round-3 headline; ~2x on the
+        # tunnel, BASELINE.md round-3 table). Device outputs per batch
+        # are small (sphere images dominate, ~0.25 MB/img), so holding
+        # a dataset's worth on device is safe.
+        t_all = time.time()
+        pending = []
         for gi, (shape, chunk) in enumerate(groups):
-            t0 = time.time()
             if args.device_detect:
                 grays = [g for _, g in chunk]
                 while len(grays) < args.batch:  # pad the last batch
@@ -152,13 +160,19 @@ def main() -> int:
                     bundles.append(bundles[-1])
                 out = pipe.process_batch(bundles)
                 recs = chunk
+            pending.append((gi, recs, out))
+        n_done = 0
+        for gi, recs, out in pending:
             out = {k: np.asarray(v) for k, v in out.items()}
-            dt = time.time() - t0
             for j, rec in enumerate(recs):
                 cache.save(rec.name, "result",
                            **{k: v[j] for k, v in out.items()})
-            print(f"device batch {gi}: {len(recs)} imgs "
-                  f"in {dt:.2f}s ({len(recs) / dt:.2f} img/s)")
+            n_done += len(recs)
+            print(f"device batch {gi}: {len(recs)} imgs")
+        if pending:
+            dt = time.time() - t_all
+            print(f"device stage: {n_done} imgs in {dt:.2f}s "
+                  f"({n_done / dt:.2f} img/s, pipelined)")
 
     # ---- eval loop (identical protocol to the reference) ----
     errors = []
