@@ -119,9 +119,18 @@ def main() -> int:
                   im, r, m, a, k))),
               images, root, mag, active)
 
-    det = jax.jit(jax.vmap(
-        lambda im: ld.detect_segments_device(im, max_segments=n_pad)))
-    bench("whole detector", det, images)
+    # whole detector, each impl combo traced fresh (the env-gated
+    # dispatch shims read VP_*_IMPL at trace time)
+    combos = [("pallas", "pallas"), ("xla", "xla"), ("pallas", "xla"),
+              ("xla", "pallas")] if jax.default_backend() != "cpu" \
+        else [("xla", "xla")]
+    for ccl_impl, sort_impl in combos:
+        os.environ["VP_CCL_IMPL"] = ccl_impl
+        os.environ["VP_SORT_IMPL"] = sort_impl
+        det = jax.jit(jax.vmap(
+            lambda im: ld.detect_segments_device(im, max_segments=n_pad)))
+        bench(f"whole detector ccl={ccl_impl} sort={sort_impl}",
+              det, images)
     return 0
 
 
