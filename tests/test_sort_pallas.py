@@ -33,9 +33,10 @@ def test_sort_records_random(r, l):
 
 @pytest.mark.slow
 def test_sort_records_detector_scale():
-    """The real detector shape: 638 rows x 64 records, 10 payload lanes,
-    heavy duplication (many records per component root)."""
-    r, l = 638 * 64, 10
+    """The real detector shape: 638 rows x 48 records (the runs_per_row
+    default), 10 payload lanes, heavy duplication (many records per
+    component root)."""
+    r, l = 638 * 48, 10
     rng = np.random.default_rng(0)
     keys = rng.choice(rng.integers(0, 400_000, 900), r).astype(np.int32)
     keys[rng.random(r) < 0.3] = -1  # invalid records, like the detector
