@@ -459,6 +459,7 @@ def parent_main() -> int:
 
     workdir = tempfile.mkdtemp(prefix="bench_")
     best: dict | None = None
+    attempts: list[_Attempt] = []  # must exist before the signal handler
 
     def best_or_stub() -> dict:
         return best if best is not None else _degraded_stub(
@@ -488,7 +489,7 @@ def parent_main() -> int:
                     env={"VP_CCL_IMPL": "xla", "VP_SORT_IMPL": "xla"})
     cpu = _Attempt("cpu_fallback", "cpu", "2", cpu_batch, cpu_iters, size,
                    False)
-    attempts = [tpu1, tpu2, cpu]
+    attempts.extend([tpu1, tpu2, cpu])
 
     # CPU fallback runs in parallel from t=0 (it never touches the TPU, so
     # it cannot interfere with the grant); it banks a guaranteed number.

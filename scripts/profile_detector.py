@@ -119,16 +119,16 @@ def main() -> int:
                   im, r, m, a, k))),
               images, root, mag, active)
 
-    # whole detector, each impl combo traced fresh (the env-gated
-    # dispatch shims read VP_*_IMPL at trace time)
+    # whole detector per impl combo — EXPLICIT args (static jit keys),
+    # not env flips: detect_segments_device is itself a jit, so an env
+    # read at trace time is never repeated on a cache hit
     combos = [("pallas", "pallas"), ("xla", "xla"), ("pallas", "xla"),
               ("xla", "pallas")] if jax.default_backend() != "cpu" \
         else [("xla", "xla")]
     for ccl_impl, sort_impl in combos:
-        os.environ["VP_CCL_IMPL"] = ccl_impl
-        os.environ["VP_SORT_IMPL"] = sort_impl
         det = jax.jit(jax.vmap(
-            lambda im: ld.detect_segments_device(im, max_segments=n_pad)))
+            lambda im, c=ccl_impl, s=sort_impl: ld.detect_segments_device(
+                im, max_segments=n_pad, ccl_impl=c, sort_impl=s)))
         bench(f"whole detector ccl={ccl_impl} sort={sort_impl}",
               det, images)
     return 0

@@ -84,8 +84,12 @@ def test_group_stats_matches_xla_component_stats():
     # XLA reference path (use_pallas is False on the CPU backend);
     # args through jit, not closure — closed-over constants make XLA
     # constant-fold the record sort at trace time (minutes).
+    # runs_per_row passed EXPLICITLY so the reference and the record
+    # building below always share one budget regardless of the default.
+    rpr = 64
     ref = jax.jit(lambda a, b, c, d: ld._component_stats(
-        a, b, c, d, 128, (hi, wi)))(root, wgt.reshape(-1), xn2, yn2)
+        a, b, c, d, 128, (hi, wi), runs_per_row=rpr))(
+            root, wgt.reshape(-1), xn2, yn2)
 
     # records exactly as _component_stats builds them
     import math as _m
@@ -100,7 +104,7 @@ def test_group_stats_matches_xla_component_stats():
                    w2 * yn2 * yn2, (w2 > 0).astype(jnp.float32)], axis=0)
     qs = ld._segmented_sum_scan(q, conn[None], log_w)
     x_first = ld._segmented_copy_first(xn2, conn, log_w)
-    k_row = min(max(64, 128 // 8), wi)
+    k_row = min(rpr, wi)
     mass_row = jnp.where(is_end, qs[0], -1.0)
     import jax.lax as lax
     top_mass, top_pos = lax.top_k(mass_row, k_row)

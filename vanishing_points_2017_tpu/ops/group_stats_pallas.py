@@ -299,8 +299,14 @@ def detector_group_stats(rec_root: jnp.ndarray, payload: jnp.ndarray,
 @functools.partial(jax.custom_batching.custom_vmap)
 def group_stats(rec_root: jnp.ndarray, payload: jnp.ndarray):
     """Per-image API for ``detector_group_stats`` composing with
-    jax.vmap (batched through lax.map — see sort_pallas_wrap for why
-    grid batching and plain vmap are not usable on this platform)."""
+    jax.vmap. Batched through lax.map: this lowering path stages ALL
+    pallas_call operands in VMEM wholesale (blocked in_specs with a
+    grid, memory_space=ANY and manual in-kernel DMA all produced the
+    same 51 MB scoped-vmem OOM on a 16-image batch), so one call's
+    operands must fit VMEM themselves; per-image calls under a compiled
+    sequential loop do, and the TPU's single core would serialize a
+    grid anyway. The optimization_barrier keeps XLA from rematerializing
+    the record-producing prefix into every loop iteration."""
     return detector_group_stats(rec_root, payload)
 
 

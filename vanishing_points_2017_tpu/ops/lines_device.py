@@ -223,15 +223,20 @@ def _connected_components(active: jnp.ndarray, ux: jnp.ndarray,
     return lab.reshape(-1)
 
 
-def _use_pallas_ccl() -> bool:
+def _use_pallas_ccl(impl: str | None = None) -> bool:
+    """impl None = env default (VP_CCL_IMPL, read at trace time — note a
+    nested-jit cache hit will NOT re-read it; pass impl explicitly, e.g.
+    via PipelineConfig.ccl_impl, when the choice must be cache-correct)."""
     import os
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("VP_CCL_IMPL", "pallas") != "xla")
+    if impl is None:
+        impl = os.environ.get("VP_CCL_IMPL", "pallas")
+    return jax.default_backend() == "tpu" and impl != "xla"
 
 
 @functools.lru_cache(maxsize=None)
-def _ccl_dispatch_factory(cos_tol: float, passes: int):
-    """CCL backend dispatch (cos_tol/passes static via this factory).
+def _ccl_dispatch_factory(cos_tol: float, passes: int,
+                          impl: str | None = None):
+    """CCL backend dispatch (cos_tol/passes/impl static via this factory).
 
     Unbatched: XLA raster scan (also covers the rare direct single-image
     call on TPU — a batch of 1 would waste the kernel's vector width
@@ -253,7 +258,7 @@ def _ccl_dispatch_factory(cos_tol: float, passes: int):
             ux = jnp.broadcast_to(ux, (axis_size,) + ux.shape)
         if not yb:
             uy = jnp.broadcast_to(uy, (axis_size,) + uy.shape)
-        if _use_pallas_ccl():
+        if _use_pallas_ccl(impl):
             from .ccl_pallas import connected_components_pallas_batch
             out = connected_components_pallas_batch(active, ux, uy,
                                                     cos_tol, passes)
@@ -265,8 +270,9 @@ def _ccl_dispatch_factory(cos_tol: float, passes: int):
     return dispatch
 
 
-def _ccl_dispatch(active, ux, uy, cos_tol, passes):
-    return _ccl_dispatch_factory(float(cos_tol), int(passes))(active, ux, uy)
+def _ccl_dispatch(active, ux, uy, cos_tol, passes, impl: str | None = None):
+    return _ccl_dispatch_factory(float(cos_tol), int(passes),
+                                 impl)(active, ux, uy)
 
 
 def ccl_fixpoint_residual(active: jnp.ndarray, ux: jnp.ndarray,
@@ -330,7 +336,8 @@ def _segmented_copy_first(v: jnp.ndarray, conn: jnp.ndarray,
 def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      yn2: jnp.ndarray, max_segments: int,
                      shape: tuple[int, int],
-                     runs_per_row: int | None = None):
+                     runs_per_row: int | None = None,
+                     sort_impl: str | None = None):
     """Top-k components by gradient mass, with exact moments + extremal
     projections — all from per-row RUN RECORDS, never a per-pixel
     sort/scatter/membership pass.
@@ -404,9 +411,13 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # kernels do not run on CPU).
     n_rec = rec_root.shape[0]
     payload = jnp.stack([*rec_q, rec_x0, rec_x1, rec_y], axis=0)  # (10, R)
-    import os as _os
-    use_pallas = jax.default_backend() == "tpu" and \
-        _os.environ.get("VP_SORT_IMPL", "pallas") != "xla"
+    if sort_impl is None:
+        # env default, read at trace time — nested-jit cache hits will NOT
+        # re-read it; pass sort_impl (e.g. PipelineConfig.sort_impl) when
+        # the choice must be cache-correct
+        import os as _os
+        sort_impl = _os.environ.get("VP_SORT_IMPL", "pallas")
+    use_pallas = jax.default_backend() == "tpu" and sort_impl != "xla"
     if use_pallas:
         from .group_stats_pallas import group_stats
         ch = group_stats(rec_root, payload)            # (11, R)
@@ -490,7 +501,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "ccl_passes",
                                              "blur_sigma", "pair_tol_factor",
                                              "runs_per_row",
-                                             "check_fixpoint"))
+                                             "check_fixpoint",
+                                             "ccl_impl", "sort_impl"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 10.0,
@@ -498,7 +510,9 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            blur_sigma: float = 1.0,
                            pair_tol_factor: float = 1.0,
                            runs_per_row: int | None = None,
-                           check_fixpoint: bool = False):
+                           check_fixpoint: bool = False,
+                           ccl_impl: str | None = None,
+                           sort_impl: str | None = None):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
@@ -508,6 +522,10 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
     raster passes did not reach the CCL fixpoint (debug aid; the passes
     are provably exact only for digital straight lines).
+    ``ccl_impl``/``sort_impl`` pin the kernel backends ("xla"/"pallas");
+    None = env default (VP_CCL_IMPL/VP_SORT_IMPL) resolved at trace time
+    — use the explicit args (PipelineConfig.ccl_impl/sort_impl) when the
+    choice must survive nested-jit trace caching.
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
@@ -538,7 +556,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # predicate defaults to 2*tol or residual staircase wobble (which
     # alternates between the two +-tol extremes) fragments regions.
     root = _ccl_dispatch(active, ux, uy, math.cos(pair_tol_factor * tol),
-                         ccl_passes)
+                         ccl_passes, impl=ccl_impl)
     if check_fixpoint:
         resid = ccl_fixpoint_residual(active, ux, uy,
                                       math.cos(pair_tol_factor * tol), root)
@@ -559,7 +577,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # ---- component selection + exact moments + extremal projections,
     # all via per-row run records (no per-pixel sort/scatter/membership)
     st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
-                          (hi, wi), runs_per_row=runs_per_row)
+                          (hi, wi), runs_per_row=runs_per_row,
+                          sort_impl=sort_impl)
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
     ddx, ddy = st["ddx"], st["ddy"]

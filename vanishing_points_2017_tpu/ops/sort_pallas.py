@@ -27,8 +27,10 @@ ascending, payload lanes carried through the identical exchanges; NOT
 stable (ties in any order — group reductions downstream are
 order-independent). Padding with INT32_MAX keys sorts to the end.
 The caller does the column-major pack/unpack (two cheap XLA
-transposes). Batch via ``sort_pallas_wrap.sort_records`` (lax.map —
-see that module for why not grid/vmap).
+transposes). The production consumer is ``group_stats_pallas``, whose
+``group_stats`` wrapper also does the batching (lax.map over per-image
+calls — see its docstring for the VMEM platform fact ruling out
+grid/vmap batching).
 """
 
 from __future__ import annotations
@@ -64,63 +66,62 @@ def _kernel(keys_ref, pay_ref, out_k_ref, out_p_ref,
     ap_ref[...] = pay_ref[...]
 
     flip = False  # False: A -> B, True: B -> A
-    if True:
-        for k, j in stages:
-            src_k, src_p = (bk_ref, bp_ref) if flip else (ak_ref, ap_ref)
-            dst_k, dst_p = (ak_ref, ap_ref) if flip else (bk_ref, bp_ref)
-            keys = src_k[...]
-            if j < log_s:
-                # partner lives 2^j rows away: reshape on leading dims
-                s = 1 << j
-                g = S // (2 * s)
-                kk = keys.reshape(g, 2, s, LANES)
-                a_k, b_k = kk[:, 0], kk[:, 1]
-                # bit k of element index i = lane * S + row, built
-                # directly at the pair shape (Mosaic rejects reshaped
-                # or sliced i1 vectors)
-                if k < log_s:
-                    gi = jax.lax.broadcasted_iota(jnp.int32,
-                                                  (g, s, LANES), 0)
-                    asc4 = (jnp.right_shift(gi, k - j - 1) & 1) == 0
-                else:
-                    li = jax.lax.broadcasted_iota(jnp.int32,
-                                                  (g, s, LANES), 2)
-                    asc4 = (jnp.right_shift(li, k - log_s) & 1) == 0
-                # a is the lower element of each pair; swap iff the pair
-                # is out of the stage's order (strict: ties never move).
-                # Logical ops, not where: Mosaic cannot select i1 vectors
-                swap = (asc4 & (a_k > b_k)) | (~asc4 & (a_k < b_k))
-                lo_k = jnp.where(swap, b_k, a_k)
-                hi_k = jnp.where(swap, a_k, b_k)
-                dst_k[...] = jnp.stack([lo_k, hi_k], axis=1) \
-                    .reshape(S, LANES)
-                for i in range(L):
-                    pp = src_p[i].reshape(g, 2, s, LANES)
-                    a_p, b_p = pp[:, 0], pp[:, 1]
-                    lo_p = jnp.where(swap, b_p, a_p)
-                    hi_p = jnp.where(swap, a_p, b_p)
-                    dst_p[i] = jnp.stack([lo_p, hi_p],
-                                         axis=1).reshape(S, LANES)
+    for k, j in stages:
+        src_k, src_p = (bk_ref, bp_ref) if flip else (ak_ref, ap_ref)
+        dst_k, dst_p = (ak_ref, ap_ref) if flip else (bk_ref, bp_ref)
+        keys = src_k[...]
+        if j < log_s:
+            # partner lives 2^j rows away: reshape on leading dims
+            s = 1 << j
+            g = S // (2 * s)
+            kk = keys.reshape(g, 2, s, LANES)
+            a_k, b_k = kk[:, 0], kk[:, 1]
+            # bit k of element index i = lane * S + row, built
+            # directly at the pair shape (Mosaic rejects reshaped
+            # or sliced i1 vectors)
+            if k < log_s:
+                gi = jax.lax.broadcasted_iota(jnp.int32,
+                                              (g, s, LANES), 0)
+                asc4 = (jnp.right_shift(gi, k - j - 1) & 1) == 0
             else:
-                # partner lives 2^(j - log_s) lanes away: roll pair
-                sl = 1 << (j - log_s)
-                is_lower = (lane_i & sl) == 0
-                asc = (jnp.right_shift(lane_i, k - log_s) & 1) == 0
+                li = jax.lax.broadcasted_iota(jnp.int32,
+                                              (g, s, LANES), 2)
+                asc4 = (jnp.right_shift(li, k - log_s) & 1) == 0
+            # a is the lower element of each pair; swap iff the pair
+            # is out of the stage's order (strict: ties never move).
+            # Logical ops, not where: Mosaic cannot select i1 vectors
+            swap = (asc4 & (a_k > b_k)) | (~asc4 & (a_k < b_k))
+            lo_k = jnp.where(swap, b_k, a_k)
+            hi_k = jnp.where(swap, a_k, b_k)
+            dst_k[...] = jnp.stack([lo_k, hi_k], axis=1) \
+                .reshape(S, LANES)
+            for i in range(L):
+                pp = src_p[i].reshape(g, 2, s, LANES)
+                a_p, b_p = pp[:, 0], pp[:, 1]
+                lo_p = jnp.where(swap, b_p, a_p)
+                hi_p = jnp.where(swap, a_p, b_p)
+                dst_p[i] = jnp.stack([lo_p, hi_p],
+                                     axis=1).reshape(S, LANES)
+        else:
+            # partner lives 2^(j - log_s) lanes away: roll pair
+            sl = 1 << (j - log_s)
+            is_lower = (lane_i & sl) == 0
+            asc = (jnp.right_shift(lane_i, k - log_s) & 1) == 0
 
-                def partner(x, sl=sl, is_lower=is_lower):
-                    # roll requires shift >= 0: -sl mod LANES reads [l+sl]
-                    down = pltpu.roll(x, LANES - sl, 1)  # [l] <- x[l + sl]
-                    up = pltpu.roll(x, sl, 1)            # [l] <- x[l - sl]
-                    return jnp.where(is_lower, down, up)
+            def partner(x, sl=sl, is_lower=is_lower):
+                # roll requires shift >= 0: -sl mod LANES reads [l+sl]
+                down = pltpu.roll(x, LANES - sl, 1)  # [l] <- x[l + sl]
+                up = pltpu.roll(x, sl, 1)            # [l] <- x[l - sl]
+                return jnp.where(is_lower, down, up)
 
-                p_k = partner(keys)
-                want_min = ~jnp.logical_xor(asc, is_lower)
-                take = (want_min & (p_k < keys)) | (~want_min & (p_k > keys))
-                dst_k[...] = jnp.where(take, p_k, keys)
-                for i in range(L):
-                    p = src_p[i]
-                    dst_p[i] = jnp.where(take, partner(p), p)
-            flip = not flip
+            p_k = partner(keys)
+            want_min = ~jnp.logical_xor(asc, is_lower)
+            take = (want_min & (p_k < keys)) | (~want_min & (p_k > keys))
+            dst_k[...] = jnp.where(take, p_k, keys)
+            for i in range(L):
+                p = src_p[i]
+                dst_p[i] = jnp.where(take, partner(p), p)
+        flip = not flip
 
     fin_k, fin_p = (bk_ref, bp_ref) if flip else (ak_ref, ap_ref)
     out_k_ref[...] = fin_k[...]

@@ -18,6 +18,7 @@ single-device program), asserted by ``tests/test_sharding.py``.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import jax
@@ -26,6 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline import PipelineConfig, device_pipeline_full
 from .mesh import params_shardings, shard_params
+
+# jitted-entry cache: (mesh, cfg, image shape/dtype) -> compiled callable.
+# A fresh jax.jit per call would retrace + recompile the whole pipeline
+# every invocation (~minutes on some runtimes); params structure is
+# assumed stable per (mesh, cfg) — true for the single CNN family here.
+_FN_CACHE: dict = {}
 
 
 def sharded_pipeline_full(mesh: Mesh, images: jnp.ndarray, params: Any,
@@ -38,31 +45,28 @@ def sharded_pipeline_full(mesh: Mesh, images: jnp.ndarray, params: Any,
     shardings so XLA partitions rather than replicates the batch.
     Returns the same dict as ``device_pipeline_full``; leaves keep their
     dp sharding (readback gathers over ICI).
+
+    The detector's Pallas kernels (ccl/sort/group-stats) carry no SPMD
+    partitioning rules, so the GSPMD partitioner could not split them
+    over dp; the config pins the identically-valued, fully partitionable
+    XLA implementations instead. The pin rides ``PipelineConfig`` (a jit
+    STATIC argument), not env vars — an env flip would be silently
+    ignored whenever ``device_pipeline_full``'s nested-jit trace is
+    already cached for these shapes.
     """
     if images.shape[0] % mesh.shape["dp"]:
         raise ValueError(
             f"batch {images.shape[0]} not divisible by dp={mesh.shape['dp']}")
+    cfg = dataclasses.replace(cfg, ccl_impl="xla", sort_impl="xla")
     img_s = NamedSharding(mesh, P("dp", None, None))
     repl = NamedSharding(mesh, P())
-    fn = jax.jit(
-        lambda im, p, mn: device_pipeline_full(im, p, mn, cfg=cfg),
-        in_shardings=(img_s, params_shardings(params, mesh), repl),
-    )
-    # The detector's Pallas kernels (ccl_pallas, sort/group_stats) carry
-    # no SPMD partitioning rules, so the GSPMD partitioner cannot split
-    # them over dp — force the (identically-valued, fully partitionable)
-    # XLA implementations for THIS trace only. Env is read at trace time
-    # by the dispatch shims; cached executions never re-read it.
-    import os
-    saved = {k: os.environ.get(k) for k in ("VP_CCL_IMPL", "VP_SORT_IMPL")}
-    os.environ["VP_CCL_IMPL"] = "xla"
-    os.environ["VP_SORT_IMPL"] = "xla"
-    try:
-        return fn(jax.device_put(images, img_s), shard_params(params, mesh),
-                  jax.device_put(jnp.asarray(mean), repl))
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    key = (mesh, cfg, images.shape, str(images.dtype))
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda im, p, mn: device_pipeline_full(im, p, mn, cfg=cfg),
+            in_shardings=(img_s, params_shardings(params, mesh), repl),
+        )
+        _FN_CACHE[key] = fn
+    return fn(jax.device_put(images, img_s), shard_params(params, mesh),
+              jax.device_put(jnp.asarray(mean), repl))

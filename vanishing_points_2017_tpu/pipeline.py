@@ -51,6 +51,15 @@ class PipelineConfig:
     cnn_dtype: str = "bfloat16"  # inference conv/fc compute dtype; the CNN
     # output is a soft 20x20 prior, bf16 on the MXU halves its HBM traffic
     # (training runs bf16 already; "float32" restores exact r1 numerics)
+    # Device-detector kernel implementations (device_pipeline_full only).
+    # None = backend default (Pallas on TPU, overridable via the
+    # VP_CCL_IMPL / VP_SORT_IMPL env vars read at trace time); explicit
+    # "xla"/"pallas" is part of the jit static key, so it composes with
+    # nested-jit trace caching where an env flip would silently not
+    # (parallel/inference.py relies on this to force the partitionable
+    # XLA impls under GSPMD).
+    ccl_impl: str | None = None
+    sort_impl: str | None = None
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -146,7 +155,9 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
     from .ops.lines_device import detect_segments_device
 
     def one(img):
-        lp, lmask = detect_segments_device(img, max_segments=cfg.n_pad)
+        lp, lmask = detect_segments_device(img, max_segments=cfg.n_pad,
+                                           ccl_impl=cfg.ccl_impl,
+                                           sort_impl=cfg.sort_impl)
         l = lineops.segments_to_homogeneous(lp)
         l = jnp.where(lmask[:, None], l, 0.0)
         return device_pipeline(l, lp, lmask, params, mean, cfg)
