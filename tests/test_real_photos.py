@@ -1,0 +1,119 @@
+"""Real-photograph regression against the reference's own published results.
+
+The reference repo bundles 4 real photographs (assets/examples of
+fkluger/vanishing_points_2017, the example.py inputs) and the rendered
+result figures its README shows for them (assets/figure{1..4}.jpg, each
+drawing the estimated horizon as a thick pure-cyan line over the photo).
+Those figures are the output of the ORIGINAL stack — Caffe weights, Agg
+sphere renderer, real LSD — so matching them on real photos is the
+strongest accuracy evidence available without the YUD/ECD/HLW datasets
+(every other accuracy gate in this suite is synthetic).
+
+The expected horizon rows below were extracted from the figures by
+least-squares-fitting the cyan-line pixels inside the photo panel
+(pure-cyan mask g,b>180, r<100; rows within +-30 px of the median;
+panel = the non-white bbox of the figure's left half). Values are the
+horizon's fractional image row (0 = top) at the left and right image
+edges. nord_lb (figure2) is excluded: its view looks steeply upward and
+the reference draws no horizon inside the frame.
+
+The photos live in the read-only reference checkout and are NOT copied
+into this repo; the tests skip if the checkout is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF_EXAMPLES = "/root/reference/assets/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EXAMPLES),
+    reason="reference example photos not available")
+
+# (photo, frac_left, frac_right) extracted from the reference figures
+REFERENCE_HORIZONS = [
+    ("ihme_zentrum.jpg", 0.7701, 0.7743),           # figure1
+    ("uni_hannover.jpg", 0.7458, 0.7336),           # figure3
+    ("uni_hannover_lichthof.jpg", 0.3889, 0.3877),  # figure4
+]
+
+
+def _pipeline(**cfg_overrides):
+    from vanishing_points_2017_tpu.pipeline import Pipeline, PipelineConfig
+    from vanishing_points_2017_tpu import weights as wload
+    import dataclasses
+
+    params, mean = wload.load_params_and_mean(warn=False)
+    cfg = dataclasses.replace(PipelineConfig(), **cfg_overrides)
+    return Pipeline(params=params, mean=mean, cfg=cfg)
+
+
+def _fracs(out_hp1, out_hp2, image_shape):
+    """Horizon endpoints (normalized frame) -> fractional image rows."""
+    h, w = image_shape
+    s = max(h, w) / 2.0
+    fl = (h / 2.0 - float(out_hp1[1]) * s) / h
+    fr = (h / 2.0 - float(out_hp2[1]) * s) / h
+    return fl, fr
+
+
+@pytest.mark.slow
+def test_host_lsd_path_matches_reference_figures():
+    """Host C++ LSD + full pipeline on the real photos: horizon within
+    0.035 fractional image height of the reference's published result
+    (measured: 0.002-0.017 — inside the reference's own run-to-run
+    variability from its nondeterministic EM ordering)."""
+    pipe = _pipeline()
+    for name, rl, rr in REFERENCE_HORIZONS:
+        out = pipe.process(os.path.join(REF_EXAMPLES, name), target_size=640)
+        assert bool(out["em_valid"]), name
+        fl, fr = _fracs(out["hp1"], out["hp2"], out["image_shape"])
+        err = max(abs(fl - rl), abs(fr - rr))
+        assert err < 0.035, (name, fl, fr, rl, rr)
+
+
+@pytest.mark.slow
+def test_device_detector_path_on_real_photos():
+    """Zero-host path on real photos with the real-photo detector gates
+    (PipelineConfig.det_min_count/det_min_len_px = 20/20 — the synthetic-
+    tuned defaults admit micro-texture components that tilt the horizon
+    on ALL of these photos, err 0.15-0.19; see the field's comment).
+
+    Characterization, not full parity: the strict gates fix the two
+    outdoor facades (measured err 0.031 / 0.005) but over-prune the
+    glass-roof atrium (lichthof), whose horizon support is short
+    segments — no single fixed count/length gate covers all three
+    (TODO item 5b tracks the NFA-style fix). The atrium asserts
+    validity + structure only."""
+    pipe = _pipeline(det_min_count=20, det_min_len_px=20.0)
+    strict = {"ihme_zentrum.jpg": 0.06, "uni_hannover.jpg": 0.06}
+    for name, rl, rr in REFERENCE_HORIZONS:
+        host = pipe.ingest_image(os.path.join(REF_EXAMPLES, name),
+                                 target_size=640)
+        out = pipe.process_images([host["gray"]])
+        assert bool(np.asarray(out["em_valid"])[0]), name
+        alive = np.asarray(out["alive"])[0]
+        assert int(alive.sum()) >= 3, name
+        if name in strict:
+            fl, fr = _fracs(np.asarray(out["hp1"])[0],
+                            np.asarray(out["hp2"])[0],
+                            host["image_shape"])
+            err = max(abs(fl - rl), abs(fr - rr))
+            assert err < strict[name], (name, fl, fr, rl, rr)
+
+
+@pytest.mark.slow
+def test_upward_view_photo_still_valid():
+    """nord_lb looks steeply up (no in-frame horizon in the reference
+    figure); the pipeline must still produce a valid EM result with a
+    dominant zenith-ish structure, not crash or go empty."""
+    pipe = _pipeline()
+    out = pipe.process(os.path.join(REF_EXAMPLES, "nord_lb.jpg"),
+                       target_size=640)
+    assert bool(out["em_valid"])
+    alive = np.asarray(out["alive"])
+    assert int(alive.sum()) >= 3
+    counts = np.asarray(out["counts"])[alive]
+    assert counts.max() >= 50  # strong dominant VP structure
