@@ -76,19 +76,21 @@ def test_host_lsd_path_matches_reference_figures():
 
 @pytest.mark.slow
 def test_device_detector_path_on_real_photos():
-    """Zero-host path on real photos with the real-photo detector gates
-    (PipelineConfig.det_min_count/det_min_len_px = 20/20 — the synthetic-
-    tuned defaults admit micro-texture components that tilt the horizon
-    on ALL of these photos, err 0.15-0.19; see the field's comment).
+    """Zero-host path on real photos at the DEFAULT detector gates.
 
-    Characterization, not full parity: the strict gates fix the two
-    outdoor facades (measured err 0.031 / 0.005) but over-prune the
-    glass-roof atrium (lichthof), whose horizon support is short
-    segments — no single fixed count/length gate covers all three
-    (TODO item 5b tracks the NFA-style fix). The atrium asserts
-    validity + structure only."""
-    pipe = _pipeline(det_min_count=20, det_min_len_px=20.0)
-    strict = {"ihme_zentrum.jpg": 0.06, "uni_hannover.jpg": 0.06}
+    The gates were arbitrated jointly over these photos and rendered
+    synthetic scenes (PipelineConfig comment; sweep history in
+    scripts/sweep_detector_gates.py): fixed count/length gates alone
+    cannot cover both the outdoor facades and the glass-roof atrium,
+    but LSD's region-to-rectangle density test (det_min_density=0.7)
+    rejects the meandering micro-texture chains on all three. Measured
+    err at the defaults: 0.043 / 0.039 / 0.003 (vs the reference's
+    published figures; the host-LSD path gets 0.002-0.017). The 0.10
+    bound leaves margin for the EM's sensitivity to small segment-
+    population shifts — texture-heavy photos sit near a triplet-choice
+    boundary, so a blown bound here is a real robustness regression,
+    not noise."""
+    pipe = _pipeline()
     for name, rl, rr in REFERENCE_HORIZONS:
         host = pipe.ingest_image(os.path.join(REF_EXAMPLES, name),
                                  target_size=640)
@@ -96,12 +98,11 @@ def test_device_detector_path_on_real_photos():
         assert bool(np.asarray(out["em_valid"])[0]), name
         alive = np.asarray(out["alive"])[0]
         assert int(alive.sum()) >= 3, name
-        if name in strict:
-            fl, fr = _fracs(np.asarray(out["hp1"])[0],
-                            np.asarray(out["hp2"])[0],
-                            host["image_shape"])
-            err = max(abs(fl - rl), abs(fr - rr))
-            assert err < strict[name], (name, fl, fr, rl, rr)
+        fl, fr = _fracs(np.asarray(out["hp1"])[0],
+                        np.asarray(out["hp2"])[0],
+                        host["image_shape"])
+        err = max(abs(fl - rl), abs(fr - rr))
+        assert err < 0.10, (name, fl, fr, rl, rr)
 
 
 @pytest.mark.slow

@@ -363,13 +363,16 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     """
     h, w = shape
     if runs_per_row is None:
-        # per-row record budget: measured p99 nonzero-run count per row is
-        # 44 at 640x640 (TODO item 3, round 3) and outputs at 48 are
-        # bit-identical to 64 across 16 rendered scenes, while the record
-        # count H*k sets the bitonic sort's padded size on TPU (638*48 ->
-        # 32768 vs 638*64 -> 65536, ~1.8x less sort work). Still scales
-        # with the slot budget for dense-scene configurations.
-        runs_per_row = max(48, max_segments // 16)
+        # per-row record budget. Rendered synthetic scenes have a p99
+        # nonzero-run count of 44 per row at 640x640, so 48 was tried as
+        # the default (halves the sort size) — but REAL photographs are
+        # texture-dense (the reference's bundled example photos: median
+        # 42 runs/row, p99 142) and at 48 the dropped rows demonstrably
+        # move the horizon (uni_hannover_lichthof err 0.215 at 48 vs
+        # 0.006 at 64, scripts/sweep_detector_gates.py round 3). 64 is
+        # the smallest budget that held on all real photos; the record
+        # count H*k is the detector's main cost axis (see TODO item 3).
+        runs_per_row = max(64, max_segments // 8)
     f32 = jnp.float32
     r2 = root.reshape(h, w)
     w2 = wgt.reshape(h, w)
@@ -406,9 +409,15 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # downstream doubling-step reductions another ~1.5 ms/img of the
     # same. The fused Pallas path (ops/sort_pallas.py bitonic network +
     # ops/group_stats_pallas.py reductions, one packed layout
-    # throughout) replaces everything up to the final top-k. CPU keeps
-    # the XLA path (lax.sort is a real quicksort there, and Mosaic
-    # kernels do not run on CPU).
+    # throughout) replaces everything up to the final top-k — but chip
+    # measurement (scripts/profile_detector.py, round 3) put it at
+    # PARITY with the XLA sort inside the whole detector (7.95 vs 7.84
+    # ms/img at batch 16): its lax.map batching serializes the images
+    # one VMEM-resident kernel chain at a time, giving back what the
+    # fused layout saves. XLA is therefore the default everywhere
+    # (VP_SORT_IMPL=pallas opts the packed path back in); CPU always
+    # takes XLA (lax.sort is a real quicksort there, and Mosaic kernels
+    # do not run on CPU).
     n_rec = rec_root.shape[0]
     payload = jnp.stack([*rec_q, rec_x0, rec_x1, rec_y], axis=0)  # (10, R)
     if sort_impl is None:
@@ -416,8 +425,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         # re-read it; pass sort_impl (e.g. PipelineConfig.sort_impl) when
         # the choice must be cache-correct
         import os as _os
-        sort_impl = _os.environ.get("VP_SORT_IMPL", "pallas")
-    use_pallas = jax.default_backend() == "tpu" and sort_impl != "xla"
+        sort_impl = _os.environ.get("VP_SORT_IMPL", "xla")
+    use_pallas = jax.default_backend() == "tpu" and sort_impl == "pallas"
     if use_pallas:
         from .group_stats_pallas import group_stats
         ch = group_stats(rec_root, payload)            # (11, R)
@@ -498,6 +507,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("max_segments", "tol_deg",
                                              "min_count", "min_len_px",
+                                             "min_density",
                                              "ccl_passes",
                                              "blur_sigma", "pair_tol_factor",
                                              "runs_per_row",
@@ -505,7 +515,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "ccl_impl", "sort_impl"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
-                           min_len_px: float = 10.0,
+                           min_len_px: float = 12.0,
+                           min_density: float = 0.7,
                            ccl_passes: int = 8,
                            blur_sigma: float = 1.0,
                            pair_tol_factor: float = 1.0,
@@ -596,6 +607,17 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
           + (1.0 - dens) * jnp.log((1.0 - dens) / (1.0 - p_align)))
     log10_nfa = 2.5 * math.log10(npix) - area * kl / math.log(10.0)
     meaningful = (dens > p_align) & (log10_nfa < 0.0)
+    if min_density > 0.0:
+        # LSD's region-to-rectangle density test (its 0.7 default): a
+        # straight stroke fills its own bounding rectangle (dens ~ 1)
+        # while a curved/zigzag texture chain — which pairwise-tolerance
+        # CCL keeps connected even though LSD's region-angle growth
+        # would not — meanders through a rectangle it mostly leaves
+        # empty. LSD reacts by shrinking tol or cutting the region
+        # (lsd.c's reduce_region_radius/refine); with static shapes we
+        # reject instead: the straight sub-pieces the cut would have
+        # salvaged are below the count/NFA gates anyway.
+        meaningful = meaningful & (dens >= min_density)
 
     valid = (slot_valid & jnp.isfinite(span) & meaningful
              & (s_cnt >= min_count) & (span_px >= min_len_px))

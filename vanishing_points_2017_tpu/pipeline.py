@@ -60,14 +60,20 @@ class PipelineConfig:
     # XLA impls under GSPMD).
     ccl_impl: str | None = None
     sort_impl: str | None = None
-    # Device-detector noise gates. The defaults were tuned on rendered
-    # synthetic scenes (AUC gap vs host LSD 0.004); REAL photographs have
-    # micro-texture that passes them and tilts the horizon — measured on
-    # the reference's bundled example photos, stricter gates (20, 20.0)
-    # cut the horizon error vs the reference's published figures from
-    # ~0.15 to <= 0.03 (tests/test_real_photos.py). Tune per domain.
+    # Device-detector noise gates, arbitrated jointly over the
+    # reference's bundled REAL photographs (vs its published result
+    # figures) and 16 rendered synthetic scenes
+    # (scripts/sweep_detector_gates.py + /tmp diag logs, round 3):
+    # count/length alone cannot cover both domains (fixed 20/20 fixes
+    # the facades but over-prunes the glass-roof atrium), while LSD's
+    # region-to-rectangle DENSITY test (its 0.7 constant) rejects the
+    # meandering micro-texture chains that tilt real-photo horizons AND
+    # improves synthetic AUC (0.9769 vs 0.9750). Measured at these
+    # defaults: photo horizon err 0.043/0.039/0.003, host-LSD path
+    # 0.011/0.017/0.002 (tests/test_real_photos.py).
     det_min_count: int = 15
-    det_min_len_px: float = 10.0
+    det_min_len_px: float = 12.0
+    det_min_density: float = 0.7
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -166,6 +172,7 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
         lp, lmask = detect_segments_device(img, max_segments=cfg.n_pad,
                                            min_count=cfg.det_min_count,
                                            min_len_px=cfg.det_min_len_px,
+                                           min_density=cfg.det_min_density,
                                            ccl_impl=cfg.ccl_impl,
                                            sort_impl=cfg.sort_impl)
         l = lineops.segments_to_homogeneous(lp)
