@@ -47,7 +47,8 @@ The reference cannot run in this image (Python 2 + Caffe), so
 vs_baseline is an ESTIMATE, not a measurement.
 
 Env knobs: BENCH_DEADLINE (s), BENCH_BATCH, BENCH_ITERS,
-BENCH_IMAGE_SIZE, BENCH_EM_KERNEL (xla|pallas), BENCH_FUSED=1 (single
+BENCH_IMAGE_SIZE, BENCH_EM_KERNEL (xla|pallas), BENCH_DET_SELECTION
+(row|global record selection), BENCH_FUSED=1 (single
 fused program instead of two), BENCH_BREAKDOWN=1 (adds the lines->
 horizon fused split, a second server setup on axon), BENCH_PEAK_FLOPS,
 BENCH_CPU_FALLBACK=0 (skip the parallel CPU worker).
@@ -107,6 +108,13 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
         import dataclasses
         cfg = dataclasses.replace(cfg, em=dataclasses.replace(
             cfg.em, kernel=os.environ["BENCH_EM_KERNEL"]))
+    if os.environ.get("BENCH_DET_SELECTION"):
+        # "global" = the image-wide record-selection throughput mode
+        # (PipelineConfig.det_selection); the default benches the
+        # production default ("row").
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, det_selection=os.environ["BENCH_DET_SELECTION"])
     # trained weights when available: the EM iteration count (and thus the
     # honest throughput) depends on the CNN prior's quality
     params, mean = wload.load_params_and_mean(warn=False)
@@ -148,8 +156,13 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
 
     def detect_stage(ims):
         def one(img):
-            lp_d, lm_d = detect_segments_device(img,
-                                                max_segments=cfg.n_pad)
+            lp_d, lm_d = detect_segments_device(
+                img, max_segments=cfg.n_pad,
+                min_count=cfg.det_min_count,
+                min_len_px=cfg.det_min_len_px,
+                min_density=cfg.det_min_density,
+                selection=cfg.det_selection,
+                max_records=cfg.det_max_records)
             l_d = jnp.where(lm_d[:, None],
                             lineops.segments_to_homogeneous(lp_d), 0.0)
             return l_d, lp_d, lm_d
@@ -332,6 +345,7 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
             "image_size": size,
             "batch": batch,
             "em_kernel": cfg.em.kernel,
+            "det_selection": cfg.det_selection,
             "serial_images_per_sec": round(serial_ips, 3),
             "compute_images_per_sec": round(compute_ips, 3),
             "fused_device_images_per_sec":

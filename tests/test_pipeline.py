@@ -211,6 +211,29 @@ def test_detector_check_fixpoint_flag_clean():
     assert np.isfinite(np.asarray(seg1)).all()
 
 
+def test_detector_global_selection_matches_row():
+    """selection="global" must reproduce the per-row result whenever both
+    budgets are exact (synthetic scenes: every run kept either way) — the
+    strategies then differ only in f32 association order through the
+    group sums (record order in the sort differs), bounded like the
+    runs_per_row tolerance below."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        scene = synth.make_scene(rng, lines_per_vp=25, outliers=8)
+        img = jnp.asarray(render_scene_image(scene, size=320, rng=rng)
+                          .astype(np.float32))
+        seg0, m0 = detect_segments_device(img, max_segments=256)
+        seg1, m1 = detect_segments_device(img, max_segments=256,
+                                          selection="global")
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_allclose(np.asarray(seg0), np.asarray(seg1),
+                                   atol=1e-4)
+
+
 def test_detector_runs_per_row_tunable():
     """A generous runs_per_row must reproduce the default result (the
     default budget is already exact on these scenes), proving the plumb-

@@ -337,7 +337,9 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      yn2: jnp.ndarray, max_segments: int,
                      shape: tuple[int, int],
                      runs_per_row: int | None = None,
-                     sort_impl: str | None = None):
+                     sort_impl: str | None = None,
+                     selection: str = "row",
+                     max_records: int = 16384):
     """Top-k components by gradient mass, with exact moments + extremal
     projections — all from per-row RUN RECORDS, never a per-pixel
     sort/scatter/membership pass.
@@ -388,18 +390,42 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     qs = _segmented_sum_scan(q, conn[None], log_w)
     x_first = _segmented_copy_first(xn2, conn, log_w)
 
-    # ---- per-row top-k run records
-    k_row = min(runs_per_row, w)
-    mass_row = jnp.where(is_end, qs[0], -1.0)
-    top_mass, top_pos = jax.lax.top_k(mass_row, k_row)       # (H, k)
-    take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
-    rec_ok = top_mass > 0.0
-    rec_root = jnp.where(rec_ok, take(r2), -1).reshape(-1)
-    rec_q = [jnp.where(rec_ok, take(qs[i]), 0.0).reshape(-1)
-             for i in range(7)]
-    rec_x0 = take(x_first).reshape(-1)
-    rec_x1 = take(xn2).reshape(-1)
-    rec_y = take(yn2).reshape(-1)
+    # ---- run-record selection: global top-R (by run mass over the whole
+    # image) or per-row top-k. Global is exact whenever the image holds
+    # <= max_records nonzero runs and degrades by dropping the GLOBALLY
+    # weakest runs — a principled noise floor — where the per-row budget
+    # drops the locally weakest run of each over-budget row even when it
+    # is strong in absolute terms (texture-dense real photos hit p99 142
+    # runs/row; see runs_per_row note above). Chip-measured: the flat
+    # top_k and the one-row-gather of all channels both sit at dispatch
+    # noise (~0 ms/img at batch 16), so global selection costs nothing.
+    if selection == "global":
+        r_sel = min(max_records, hw_n := (h * w))
+        mass_flat = jnp.where(is_end, qs[0], -1.0).reshape(-1)
+        top_mass, top_pos = jax.lax.top_k(mass_flat, r_sel)  # (R,)
+        rec_ok = top_mass > 0.0
+        # one row-gather of the stacked float channels (a per-channel
+        # minor-axis take measures ~2 ms/img; this is free)
+        g = jnp.stack([*(qs[i].reshape(-1) for i in range(7)),
+                       x_first.reshape(-1),
+                       jnp.broadcast_to(xn2.reshape(-1), (hw_n,)),
+                       jnp.broadcast_to(yn2.reshape(-1), (hw_n,))],
+                      axis=1)[top_pos]                        # (R, 10)
+        rec_root = jnp.where(rec_ok, r2.reshape(-1)[top_pos], -1)
+        rec_q = [jnp.where(rec_ok, g[:, i], 0.0) for i in range(7)]
+        rec_x0, rec_x1, rec_y = g[:, 7], g[:, 8], g[:, 9]
+    else:
+        k_row = min(runs_per_row, w)
+        mass_row = jnp.where(is_end, qs[0], -1.0)
+        top_mass, top_pos = jax.lax.top_k(mass_row, k_row)   # (H, k)
+        take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
+        rec_ok = top_mass > 0.0
+        rec_root = jnp.where(rec_ok, take(r2), -1).reshape(-1)
+        rec_q = [jnp.where(rec_ok, take(qs[i]), 0.0).reshape(-1)
+                 for i in range(7)]
+        rec_x0 = take(x_first).reshape(-1)
+        rec_x1 = take(xn2).reshape(-1)
+        rec_y = take(yn2).reshape(-1)
 
     # ---- one sort by root groups each component's records contiguously,
     # then per-group reductions. On TPU every XLA-level strategy for the
@@ -512,7 +538,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "blur_sigma", "pair_tol_factor",
                                              "runs_per_row",
                                              "check_fixpoint",
-                                             "ccl_impl", "sort_impl"))
+                                             "ccl_impl", "sort_impl",
+                                             "selection", "max_records"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 12.0,
@@ -523,7 +550,9 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            runs_per_row: int | None = None,
                            check_fixpoint: bool = False,
                            ccl_impl: str | None = None,
-                           sort_impl: str | None = None):
+                           sort_impl: str | None = None,
+                           selection: str = "row",
+                           max_records: int = 16384):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
@@ -537,6 +566,10 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     None = env default (VP_CCL_IMPL/VP_SORT_IMPL) resolved at trace time
     — use the explicit args (PipelineConfig.ccl_impl/sort_impl) when the
     choice must survive nested-jit trace caching.
+    ``selection``: "row" = per-row top-``runs_per_row`` run records;
+    "global" = image-wide top-``max_records`` by run mass (2.3x faster
+    on chip and free of per-row drops, but a different f32 record order
+    — see PipelineConfig.det_selection for the tradeoff).
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
@@ -589,7 +622,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # all via per-row run records (no per-pixel sort/scatter/membership)
     st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
                           (hi, wi), runs_per_row=runs_per_row,
-                          sort_impl=sort_impl)
+                          sort_impl=sort_impl, selection=selection,
+                          max_records=max_records)
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
     ddx, ddy = st["ddx"], st["ddy"]

@@ -74,6 +74,17 @@ class PipelineConfig:
     det_min_count: int = 15
     det_min_len_px: float = 12.0
     det_min_density: float = 0.7
+    # Run-record selection strategy. "row" = per-row top-k budget
+    # (runs_per_row), the real-photo-arbitrated default. "global" = one
+    # image-wide top-max_records by run mass — chip-measured 2.3x faster
+    # (whole detector ~2.2 vs ~7.9 ms/img device at batch 16) with
+    # synthetic AUC within 0.001 of the host-LSD path, but on the
+    # reference's texture-heavy ihme facade its slightly different f32
+    # record order flips the EM's knife-edge zenith split (horizon err
+    # 0.24 vs 0.04; BASELINE.md real-photo section). Throughput-first
+    # deployments should flip this to "global".
+    det_selection: str = "row"
+    det_max_records: int = 32768
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -174,7 +185,9 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
                                            min_len_px=cfg.det_min_len_px,
                                            min_density=cfg.det_min_density,
                                            ccl_impl=cfg.ccl_impl,
-                                           sort_impl=cfg.sort_impl)
+                                           sort_impl=cfg.sort_impl,
+                                           selection=cfg.det_selection,
+                                           max_records=cfg.det_max_records)
         l = lineops.segments_to_homogeneous(lp)
         l = jnp.where(lmask[:, None], l, 0.0)
         return device_pipeline(l, lp, lmask, params, mean, cfg)
