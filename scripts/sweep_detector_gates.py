@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Arbitrate the device-detector noise gates (TODO item 5b).
+"""Arbitrate the device-detector noise gates (TODO item 5b, round 3).
 
-Sweeps (det_min_count, det_min_len_px, det_min_density) over two
+Sweeps detector variants — (min_count, min_len_px, min_density),
+runs_per_row, and the selection strategy (row | global) — over two
 protocols at once:
 
   * the reference's 3 bundled real photographs with an in-frame horizon
@@ -11,18 +12,27 @@ protocols at once:
   * K rendered synthetic scenes with exact GT horizons, scoring
     AUC@0.25 (same protocol as scripts/eval_device_detector.py).
 
-Goal: ONE default gate set whose worst real-photo error <= 0.05 and
-whose synthetic AUC stays within 0.01 of the host-LSD path.
+DECOMPOSED execution: the detector is jitted per variant (small, fast
+compiles) and feeds ONE compiled lines-in pipeline program
+(`device_pipeline_batch`), instead of recompiling the fused
+`device_pipeline_full` for every config — that made the original
+whole-pipeline sweep ~10x slower per grid point on CPU.
+
+Round-3 findings this script produced (BASELINE.md real-photo section):
+fixed count/length gates cannot cover both the outdoor facades and the
+glass-roof atrium; LSD's region-to-rectangle density test
+(min_density=0.7) rejects the meandering micro-texture chains on all
+three AND improves synthetic AUC; runs_per_row must be >= 64 for real
+photos (p99 142 runs/row); the ihme facade sits on an EM triplet-choice
+knife edge — nearby configs flip it between ~0.04 and ~0.3-0.6.
 
 Usage: python scripts/sweep_detector_gates.py [--device cpu]
-       [--count 20] [--size 640]
+       [--count 16] [--size 640]
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import itertools
 import os
 import sys
 
@@ -37,13 +47,22 @@ REFERENCE_HORIZONS = [
     ("uni_hannover_lichthof.jpg", 0.3889, 0.3877),
 ]
 
+# (selection, runs_per_row/max_records, min_count, min_len_px, min_density)
+VARIANTS = [
+    ("row", 64, 15, 12.0, 0.70),     # shipped defaults
+    ("row", 64, 15, 10.0, 0.70),
+    ("row", 64, 15, 12.0, 0.00),     # density gate off
+    ("row", 48, 15, 12.0, 0.70),     # budget too small for real photos
+    ("global", 32768, 15, 12.0, 0.70),
+    ("global", 16384, 15, 12.0, 0.70),
+]
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default=None)
-    ap.add_argument("--count", type=int, default=20)
+    ap.add_argument("--count", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=10)
     args = ap.parse_args()
     if args.device:
         import jax
@@ -52,36 +71,48 @@ def main() -> int:
     from vanishing_points_2017_tpu.utils import compile_cache
     compile_cache.enable()
 
+    import jax
     import jax.numpy as jnp
     from vanishing_points_2017_tpu.data import datasets as dsets
     from vanishing_points_2017_tpu.metrics import calc_auc
     from vanishing_points_2017_tpu.models import synth
+    from vanishing_points_2017_tpu.ops import lines as lineops
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
     from vanishing_points_2017_tpu.pipeline import (
-        Pipeline, PipelineConfig, device_pipeline_full)
+        Pipeline, PipelineConfig, device_pipeline_batch)
     from vanishing_points_2017_tpu import weights as wload
 
     params, mean = wload.load_params_and_mean(warn=False)
+    cfg = PipelineConfig()
+    pipe = Pipeline(params=params, mean=mean, cfg=cfg)
+    mean_j = jnp.asarray(mean)
 
-    # ---- real photos (host grayscale once)
-    pipe0 = Pipeline(params=params, mean=mean, cfg=PipelineConfig())
     photos = []
     if os.path.isdir(REF_EXAMPLES):
         for name, rl, rr in REFERENCE_HORIZONS:
-            host = pipe0.ingest_image(os.path.join(REF_EXAMPLES, name),
-                                      target_size=args.size)
-            photos.append((name, rl, rr, host["gray"], host["image_shape"]))
+            host = pipe.ingest_image(os.path.join(REF_EXAMPLES, name),
+                                     target_size=args.size)
+            photos.append((name, rl, rr,
+                           jnp.asarray(host["gray"].astype(np.float32)),
+                           host["image_shape"]))
 
-    # ---- synthetic scenes (render once; same protocol as
-    # eval_device_detector.py)
     rng = np.random.default_rng(7)
-    scenes, grays = [], []
+    scenes, simgs = [], []
     for _ in range(args.count):
         sc = synth.make_scene(rng, lines_per_vp=int(rng.integers(25, 60)),
                               outliers=int(rng.integers(5, 25)))
-        img = dsets.render_scene_image(sc, size=args.size, rng=rng)
-        g8 = np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
         scenes.append(sc)
-        grays.append(g8)
+        simgs.append(jnp.asarray(np.asarray(
+            dsets.render_scene_image(sc, size=args.size, rng=rng),
+            np.float32)))
+
+    def run_lines(lps, masks):
+        lps = jnp.asarray(np.stack(lps))
+        masks = jnp.asarray(np.stack(masks))
+        l = jax.vmap(lineops.segments_to_homogeneous)(lps)
+        l = jnp.where(masks[..., None], l, 0.0)
+        return device_pipeline_batch(l, lps, masks, params, mean_j, cfg)
 
     def frac_rows(hp1, hp2, shape):
         h, w = shape
@@ -89,55 +120,51 @@ def main() -> int:
         return ((h / 2.0 - float(hp1[1]) * s) / h,
                 (h / 2.0 - float(hp2[1]) * s) / h)
 
-    grid = [
-        (15, 10.0, 0.0),   # current synthetic-tuned defaults
-        (20, 20.0, 0.0),   # current real-photo recipe (over-prunes atrium)
-        (15, 10.0, 0.5),
-        (15, 10.0, 0.7),
-        (15, 10.0, 0.8),
-        (10, 10.0, 0.7),
-        (20, 10.0, 0.7),
-        (15, 15.0, 0.7),
-        (20, 15.0, 0.7),
-    ]
-    print(f"{'cnt':>4} {'len':>5} {'dens':>5} | per-photo err -> worst | "
-          "synthAUC")
-    for cnt, ln, dens in grid:
-        cfg = dataclasses.replace(PipelineConfig(), det_min_count=cnt,
-                                  det_min_len_px=ln, det_min_density=dens)
-        pipe = Pipeline(params=params, mean=mean, cfg=cfg)
+    print(f"{'sel':>7} {'budget':>6} {'cnt':>3} {'len':>4} {'dens':>4} "
+          "| photo errs -> worst | synthAUC")
+    for sel, budget, cnt, ln, dens in VARIANTS:
+        kw = dict(max_segments=512, min_count=cnt, min_len_px=ln,
+                  min_density=dens, selection=sel)
+        if sel == "global":
+            kw["max_records"] = budget
+        else:
+            kw["runs_per_row"] = budget
+        det = lambda im, kw=kw: detect_segments_device(im, **kw)
+
         errs = []
-        for name, rl, rr, g8, shape in photos:
-            out = pipe.process_images([g8])
-            ok = bool(np.asarray(out["em_valid"])[0])
-            if not ok:
-                errs.append(float("nan"))
-                continue
-            fl, fr = frac_rows(np.asarray(out["hp1"])[0],
-                               np.asarray(out["hp2"])[0], shape)
-            errs.append(max(abs(fl - rl), abs(fr - rr)))
-        # synthetic AUC in batches
+        if photos:
+            lps, masks = [], []
+            for name, rl, rr, img, shape in photos:
+                s, m = det(img)
+                lps.append(np.asarray(s))
+                masks.append(np.asarray(m))
+            out = run_lines(lps, masks)
+            for i, (name, rl, rr, img, shape) in enumerate(photos):
+                if not bool(np.asarray(out["em_valid"])[i]):
+                    errs.append(float("nan"))
+                    continue
+                fl, fr = frac_rows(np.asarray(out["hp1"])[i],
+                                   np.asarray(out["hp2"])[i], shape)
+                errs.append(max(abs(fl - rl), abs(fr - rr)))
+
+        slps, smasks = [], []
+        for img in simgs:
+            s, m = det(img)
+            slps.append(np.asarray(s))
+            smasks.append(np.asarray(m))
+        sout = run_lines(slps, smasks)
         serrs = []
-        for i in range(0, len(grays), args.batch):
-            chunk = grays[i:i + args.batch]
-            while len(chunk) < args.batch:
-                chunk = chunk + [chunk[-1]]
-            imgs = jnp.asarray(np.stack(chunk))
-            out = device_pipeline_full(imgs, params,
-                                       jnp.asarray(mean), cfg)
-            hp1 = np.asarray(out["hp1"])
-            hp2 = np.asarray(out["hp2"])
-            n = min(args.batch, len(grays) - i)
-            for j in range(n):
-                est = np.cross(hp1[j], hp2[j])
-                serrs.append(dsets.normalized_horizon_error(
-                    est, scenes[i + j].horizon.astype(np.float64),
-                    width=args.size, height=args.size))
+        for j in range(len(simgs)):
+            est = np.cross(np.asarray(sout["hp1"])[j],
+                           np.asarray(sout["hp2"])[j])
+            serrs.append(dsets.normalized_horizon_error(
+                est, scenes[j].horizon.astype(np.float64),
+                width=args.size, height=args.size))
         auc, _ = calc_auc(np.asarray(serrs), 0.25)
-        estr = " ".join(f"{e:5.3f}" for e in errs)
+        estr = " ".join(f"{e:5.3f}" for e in errs) if errs else "(no photos)"
         worst = max(errs) if errs else float("nan")
-        print(f"{cnt:>4} {ln:>5.1f} {dens:>5.2f} | {estr} -> {worst:5.3f} | "
-              f"{auc:.4f}", flush=True)
+        print(f"{sel:>7} {budget:>6} {cnt:>3} {ln:>4.1f} {dens:>4.2f} "
+              f"| {estr} -> {worst:5.3f} | {auc:.4f}", flush=True)
     return 0
 
 

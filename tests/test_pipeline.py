@@ -212,11 +212,11 @@ def test_detector_check_fixpoint_flag_clean():
 
 
 def test_detector_global_selection_matches_row():
-    """selection="global" must reproduce the per-row result whenever both
-    budgets are exact (synthetic scenes: every run kept either way) — the
-    strategies then differ only in f32 association order through the
-    group sums (record order in the sort differs), bounded like the
-    runs_per_row tolerance below."""
+    """selection="global" must reproduce the per-row result BIT-EXACTLY
+    whenever both budgets keep every run (synthetic scenes): the
+    grouping sort orders records canonically by (root, run position),
+    so identical record SETS give identical f32 associations regardless
+    of the selection strategy."""
     import jax.numpy as jnp
     from vanishing_points_2017_tpu.ops.lines_device import (
         detect_segments_device)
@@ -230,8 +230,7 @@ def test_detector_global_selection_matches_row():
         seg1, m1 = detect_segments_device(img, max_segments=256,
                                           selection="global")
         np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
-        np.testing.assert_allclose(np.asarray(seg0), np.asarray(seg1),
-                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg1))
 
 
 def test_detector_runs_per_row_tunable():
@@ -250,11 +249,9 @@ def test_detector_runs_per_row_tunable():
     seg1, m1 = detect_segments_device(img, max_segments=256,
                                       runs_per_row=160)
     np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
-    # group sums reduce in record order, and the (unstable) bitonic sort
-    # orders equal-root records differently per runs_per_row: tolerance
-    # covers f32 association drift, not geometry changes
-    np.testing.assert_allclose(np.asarray(seg0), np.asarray(seg1),
-                               atol=1e-4)
+    # canonical (root, position) grouping order: same record set ->
+    # bit-identical outputs regardless of the budget
+    np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg1))
 
 
 @pytest.mark.slow

@@ -414,6 +414,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         rec_root = jnp.where(rec_ok, r2.reshape(-1)[top_pos], -1)
         rec_q = [jnp.where(rec_ok, g[:, i], 0.0) for i in range(7)]
         rec_x0, rec_x1, rec_y = g[:, 7], g[:, 8], g[:, 9]
+        rec_pos = top_pos.astype(jnp.int32)
     else:
         k_row = min(runs_per_row, w)
         mass_row = jnp.where(is_end, qs[0], -1.0)
@@ -426,6 +427,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         rec_x0 = take(x_first).reshape(-1)
         rec_x1 = take(xn2).reshape(-1)
         rec_y = take(yn2).reshape(-1)
+        row_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+        rec_pos = (row_i * w + top_pos.astype(jnp.int32)).reshape(-1)
 
     # ---- one sort by root groups each component's records contiguously,
     # then per-group reductions. On TPU every XLA-level strategy for the
@@ -465,10 +468,17 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
             "ddx": sel(ch[6]), "ddy": sel(ch[7]),
             "lam_min": sel(ch[8]), "tmin": sel(ch[9]), "tmax": sel(ch[10]),
         }
-    srt = jax.lax.sort([rec_root] + [payload[i] for i in range(10)],
-                       num_keys=1)
+    # CANONICAL order: (root, run-end flat position) is a total order on
+    # records, so the sorted sequence — and with it every downstream f32
+    # association (group sums, first/last broadcasts) — is identical for
+    # any selection strategy or budget that keeps the same record SET.
+    # With root as the only key, lax.sort's tie order leaks the
+    # pre-sort record order into the f32 results; that made outputs
+    # depend on runs_per_row/selection even when no record was dropped.
+    srt = jax.lax.sort([rec_root, rec_pos] + [payload[i] for i in range(10)],
+                       num_keys=2)
     rs = srt[0]
-    payload = jnp.stack(srt[1:], axis=0)
+    payload = jnp.stack(srt[2:], axis=0)
     sq = payload[:7]                                          # (7, R)
     sx0, sx1, sy = payload[7], payload[8], payload[9]
     log_r = max(1, math.ceil(math.log2(n_rec)))
