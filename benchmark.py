@@ -99,7 +99,11 @@ def main() -> int:
 
     # device-detect results come from a different detector — separate
     # cache identity so the two modes never serve each other's results
-    cache_key = cfg.cache_key() + ("_devdet" if args.device_detect else "")
+    # device-detect results also key on the detector config (gates +
+    # selection strategy), so detector changes invalidate exactly those
+    # caches; host-LSD results don't depend on det_* and keep their key
+    cache_key = cfg.cache_key() + (
+        "_devdet_" + cfg.det_key() if args.device_detect else "")
     cache = StageCache(os.path.join(args.result_dir, name), cache_key)
     print(f"dataset: {name}  images: {len(records)}  skip: {start}")
 

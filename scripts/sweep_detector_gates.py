@@ -162,7 +162,9 @@ def main() -> int:
                 width=args.size, height=args.size))
         auc, _ = calc_auc(np.asarray(serrs), 0.25)
         estr = " ".join(f"{e:5.3f}" for e in errs) if errs else "(no photos)"
-        worst = max(errs) if errs else float("nan")
+        # np.max propagates NaN (a photo that lost EM validity must
+        # read as a failed config, not be silently ignored by max())
+        worst = float(np.max(errs)) if errs else float("nan")
         print(f"{sel:>7} {budget:>6} {cnt:>3} {ln:>4.1f} {dens:>4.2f} "
               f"| {estr} -> {worst:5.3f} | {auc:.4f}", flush=True)
     return 0

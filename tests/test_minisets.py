@@ -145,8 +145,10 @@ def test_benchmark_device_detect_real_format(tmp_path, capsys):
     root = str(tmp_path / "yud")
     minisets.make_mini_yud(root, n_eval=2)
     recs, start = dsets.yud_records(root)
+    from vanishing_points_2017_tpu.pipeline import PipelineConfig
     _seed_skip_results(result_dir, "york", recs, start,
-                       key_suffix="_devdet")
+                       key_suffix="_devdet_"
+                       + PipelineConfig().det_key())
     auc, out = _run_benchmark(
         ["--yud", "--dataset_dir", root, "--result_dir", result_dir,
          "--run_cnn", "--batch", "2", "--no_weights_warn",

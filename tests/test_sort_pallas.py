@@ -33,11 +33,13 @@ def test_sort_records_random(r, l):
 
 @pytest.mark.slow
 def test_sort_records_detector_scale():
-    """The real detector shape: 638 rows x 48 records, 10 payload
-    lanes, heavy duplication (many records per component root).
+    """The real detector shape: 638 rows x 64 records (the shipped
+    runs_per_row default -> a 65536-element bitonic network, one
+    doubling stage beyond 32768), 10 payload lanes, heavy duplication
+    (many records per component root).
 
-    Runs in a FRESH interpreter: compiling this interpret-mode program
-    (a 32768-element bitonic network unrolled for the CPU backend) is
+    Runs in a FRESH interpreter: compiling an interpret-mode bitonic
+    network of this size unrolled for the CPU backend is
     stable in a clean process but segfaults XLA:CPU inside
     backend_compile_and_load when the suite's long-lived process has
     already compiled dozens of programs (observed twice at the end of
@@ -53,7 +55,7 @@ def test_sort_records_detector_scale():
         "import numpy as np, jax.numpy as jnp\n"
         "from vanishing_points_2017_tpu.ops.sort_pallas import "
         "sort_records_pallas\n"
-        "r, l = 638 * 48, 10\n"
+        "r, l = 638 * 64, 10\n"
         "rng = np.random.default_rng(0)\n"
         "keys = rng.choice(rng.integers(0, 400_000, 900), r)"
         ".astype(np.int32)\n"
@@ -80,8 +82,7 @@ def test_sort_records_detector_scale():
     assert "DETECTOR_SCALE_SORT_OK" in out.stdout
 
 
-@pytest.mark.slow
-def test_group_stats_matches_xla_component_stats():
+def _group_stats_oracle_body():
     """Full fused pallas group-stats chain (sort + segmented reductions,
     interpret mode) vs the XLA _component_stats path on records from a
     real rendered scene: every selected component's stats must agree."""
@@ -194,3 +195,32 @@ def test_group_stats_matches_xla_component_stats():
                        ("tmax", tmax_f, np.asarray(ref["tmax"])[v])):
         bad = np.abs(a - b) >= tol_t
         assert not bad.any(), (name, list(zip((a - b)[bad], cnt[bad])))
+
+
+@pytest.mark.slow
+def test_group_stats_matches_xla_component_stats():
+    """Runs _group_stats_oracle_body in a FRESH interpreter — the same
+    XLA:CPU long-lived-process segfault as the detector-scale sort test
+    above (giant interpret-mode compiles crash backend_compile_and_load
+    after the suite has compiled dozens of programs; observed rc=139 at
+    suite end with this test on the stack; passes clean standalone)."""
+    import os
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=here + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         timeout=1800)
+    assert out.returncode == 0, (out.returncode, out.stdout[-2000:],
+                                 out.stderr[-2000:])
+    assert "GROUP_STATS_ORACLE_OK" in out.stdout
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    _group_stats_oracle_body()
+    print("GROUP_STATS_ORACLE_OK")

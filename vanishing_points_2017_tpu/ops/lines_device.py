@@ -339,7 +339,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      runs_per_row: int | None = None,
                      sort_impl: str | None = None,
                      selection: str = "row",
-                     max_records: int = 16384):
+                     max_records: int = 32768):
     """Top-k components by gradient mass, with exact moments + extremal
     projections — all from per-row RUN RECORDS, never a per-pixel
     sort/scatter/membership pass.
@@ -399,36 +399,37 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # runs/row; see runs_per_row note above). Chip-measured: the flat
     # top_k and the one-row-gather of all channels both sit at dispatch
     # noise (~0 ms/img at batch 16), so global selection costs nothing.
+    if selection not in ("row", "global"):
+        raise ValueError(f"unknown selection {selection!r}; "
+                         "expected 'row' or 'global'")
     if selection == "global":
-        r_sel = min(max_records, hw_n := (h * w))
+        r_sel = min(max_records, h * w)
         mass_flat = jnp.where(is_end, qs[0], -1.0).reshape(-1)
         top_mass, top_pos = jax.lax.top_k(mass_flat, r_sel)  # (R,)
         rec_ok = top_mass > 0.0
-        # one row-gather of the stacked float channels (a per-channel
-        # minor-axis take measures ~2 ms/img; this is free)
-        g = jnp.stack([*(qs[i].reshape(-1) for i in range(7)),
-                       x_first.reshape(-1),
-                       jnp.broadcast_to(xn2.reshape(-1), (hw_n,)),
-                       jnp.broadcast_to(yn2.reshape(-1), (hw_n,))],
-                      axis=1)[top_pos]                        # (R, 10)
-        rec_root = jnp.where(rec_ok, r2.reshape(-1)[top_pos], -1)
-        rec_q = [jnp.where(rec_ok, g[:, i], 0.0) for i in range(7)]
-        rec_x0, rec_x1, rec_y = g[:, 7], g[:, 8], g[:, 9]
-        rec_pos = top_pos.astype(jnp.int32)
+        flat_pos = top_pos.astype(jnp.int32)                 # (R,)
     else:
         k_row = min(runs_per_row, w)
         mass_row = jnp.where(is_end, qs[0], -1.0)
         top_mass, top_pos = jax.lax.top_k(mass_row, k_row)   # (H, k)
-        take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
-        rec_ok = top_mass > 0.0
-        rec_root = jnp.where(rec_ok, take(r2), -1).reshape(-1)
-        rec_q = [jnp.where(rec_ok, take(qs[i]), 0.0).reshape(-1)
-                 for i in range(7)]
-        rec_x0 = take(x_first).reshape(-1)
-        rec_x1 = take(xn2).reshape(-1)
-        rec_y = take(yn2).reshape(-1)
+        rec_ok = (top_mass > 0.0).reshape(-1)
         row_i = jnp.arange(h, dtype=jnp.int32)[:, None]
-        rec_pos = (row_i * w + top_pos.astype(jnp.int32)).reshape(-1)
+        flat_pos = (row_i * w + top_pos.astype(jnp.int32)).reshape(-1)
+    # fetch every record channel with ONE row-gather of the stacked
+    # (H*W, 10) matrix at the selected flat positions. Chip-measured:
+    # per-channel minor-axis take_along_axis gathers run at ~200
+    # ns/element on TPU — 13 of them at (H, 64) were ~6 ms/img, the
+    # dominant hidden cost of the row path — while the row-gather's
+    # per-record DMA is ~free. Identical values in identical (row-major)
+    # order, so outputs are bit-identical to the take formulation.
+    g = jnp.stack([*(qs[i].reshape(-1) for i in range(7)),
+                   x_first.reshape(-1), xn2.reshape(-1),
+                   yn2.reshape(-1)],
+                  axis=1)[flat_pos]                           # (R, 10)
+    rec_root = jnp.where(rec_ok, r2.reshape(-1)[flat_pos], -1)
+    rec_q = [jnp.where(rec_ok, g[:, i], 0.0) for i in range(7)]
+    rec_x0, rec_x1, rec_y = g[:, 7], g[:, 8], g[:, 9]
+    rec_pos = flat_pos
 
     # ---- one sort by root groups each component's records contiguously,
     # then per-group reductions. On TPU every XLA-level strategy for the
@@ -457,6 +458,11 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         sort_impl = _os.environ.get("VP_SORT_IMPL", "xla")
     use_pallas = jax.default_backend() == "tpu" and sort_impl == "pallas"
     if use_pallas:
+        # NB the packed bitonic path sorts by root ONLY — equal-root tie
+        # order (and thus the f32 association of the group reductions)
+        # still depends on the pre-sort record order there, so the
+        # canonical selection/budget-invariance below holds on the
+        # default XLA path but NOT under VP_SORT_IMPL=pallas.
         from .group_stats_pallas import group_stats
         ch = group_stats(rec_root, payload)            # (11, R)
         top, pos = jax.lax.top_k(ch[0], max_segments)  # score
@@ -475,10 +481,17 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # With root as the only key, lax.sort's tie order leaks the
     # pre-sort record order into the f32 results; that made outputs
     # depend on runs_per_row/selection even when no record was dropped.
-    srt = jax.lax.sort([rec_root, rec_pos] + [payload[i] for i in range(10)],
-                       num_keys=2)
-    rs = srt[0]
-    payload = jnp.stack(srt[2:], axis=0)
+    #
+    # Sort 3 operands (keys + an iota), then move the 10 payload
+    # channels with ONE row-gather of the (R, 10) matrix by the sort
+    # permutation: dragging all 10 channels through the TPU bitonic
+    # network (a 12-operand sort, padded to the next power of two)
+    # chip-measured ~5-6 ms/img of the whole detector at the row path's
+    # 40832 records, while the 3-operand sort + row-gather moves the
+    # identical f32 values into the identical order for ~1 ms/img.
+    idx = jnp.arange(n_rec, dtype=jnp.int32)
+    rs, _, perm = jax.lax.sort([rec_root, rec_pos, idx], num_keys=2)
+    payload = payload.T[perm].T                               # (10, R)
     sq = payload[:7]                                          # (7, R)
     sx0, sx1, sy = payload[7], payload[8], payload[9]
     log_r = max(1, math.ceil(math.log2(n_rec)))
@@ -562,7 +575,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            ccl_impl: str | None = None,
                            sort_impl: str | None = None,
                            selection: str = "row",
-                           max_records: int = 16384):
+                           max_records: int = 32768):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.

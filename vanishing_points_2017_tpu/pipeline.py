@@ -94,6 +94,16 @@ class PipelineConfig:
                 f"_{'' if e.do_split else 'no'}split"
                 f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}")
 
+    def det_key(self) -> str:
+        """Device-detector config identity — append to :meth:`cache_key`
+        for cached results produced through the on-device detector
+        (``benchmark.py --device_detect``), so detector-gate or
+        selection-strategy changes invalidate exactly those caches and
+        never the host-LSD ones (whose results don't depend on det_*)."""
+        return (f"det{self.det_selection}{self.det_min_count}"
+                f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
+                f"-{self.det_max_records}")
+
 
 def pad_lines(segments: np.ndarray, n_pad: int):
     """Normalized segments -> padded (l, lp, lmask) arrays.
