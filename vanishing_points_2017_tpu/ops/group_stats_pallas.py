@@ -20,7 +20,14 @@ vectors; elementwise i1 compare/select is fine).
 
 Semantics are element-for-element those of
 ``lines_device._component_stats`` between the sort and the final
-top-k (which stays in XLA: one top_k(512) + ten 512-wide takes).
+top-k (which stays in XLA: one top_k(512) + ten 512-wide takes) — with
+one round-3 exception: the XLA path now sorts records by the canonical
+(root, run position) key pair, while this path sorts by root only, so
+equal-root tie order (and f32 association of the reductions) here
+still depends on the pre-sort record order. Opt-in via
+``VP_SORT_IMPL=pallas``: chip-measured at parity with the rewritten
+XLA path inside the whole detector (the ``lax.map`` batching below
+serializes images); see ``sort_pallas``'s postscript.
 """
 
 from __future__ import annotations

@@ -1,14 +1,21 @@
 """Pallas TPU bitonic sort: key + payload lanes, one fused kernel.
 
 Why this exists: the detector groups ~41k run records by component root
-(``lines_device._component_stats``). Every XLA-level strategy for that
-reorder — 11-operand ``lax.sort``, 2-operand sort + payload gather
-(either axis) — measured the same ~85 ms/batch-of-16 (~5.3 ms/img) on
-TPU v5e, because the cost is per-HLO-op dispatch overhead through the
-sorting network, not data volume (scripts/profile_detector.py, round
-3). A bitonic network fused into ONE Mosaic kernel runs the same
-compare-exchanges as ~10^5 vector instructions over VMEM-resident
-arrays instead of ~10^3 separate HLO ops over HBM.
+(``lines_device._component_stats``), and the XLA formulations of that
+reorder measured ~85 ms/batch-of-16 (~5.3 ms/img) on TPU v5e. A bitonic
+network fused into ONE Mosaic kernel runs the compare-exchanges as
+vector instructions over VMEM-resident arrays instead of separate HLO
+ops over HBM.
+
+POSTSCRIPT (round 3): the ~85 ms was eventually root-caused NOT to the
+sort itself but to the detector's 13 per-channel minor-axis
+``take_along_axis`` gathers (~200 ns/element on TPU) hiding in the
+same fused region; with record channels fetched by one row-gather and
+the sort slimmed to (root, pos, iota), the XLA path dropped to ~1
+ms/img and this kernel became an opt-in (``VP_SORT_IMPL=pallas``) at
+parity — its ``lax.map`` batching serializes images, giving back what
+the fused layout saves. Kept as working large-scale Mosaic machinery
+(bitonic network + packed group reductions) and exercised by tests.
 
 Layout: the n = 2^m padded records live in a (S, 128) f32/i32 block
 with COLUMN-major element labeling — element i sits at
