@@ -43,7 +43,7 @@ def test_sort_records_detector_scale():
     stable in a clean process but segfaults XLA:CPU inside
     backend_compile_and_load when the suite's long-lived process has
     already compiled dozens of programs (observed twice at the end of
-    full-suite runs, rc=139; passes standalone in ~7 min). Subprocess
+    full-suite runs, rc=139; passes standalone). Subprocess
     isolation keeps the full-scale coverage without poisoning the run."""
     import subprocess
     import sys
@@ -52,6 +52,10 @@ def test_sort_records_detector_scale():
         # jax.config, overriding the env var — force CPU back on first
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
+        # the image's sitecustomize also wires the persistent compilation
+        # cache; serializing this giant interpret-mode executable is the
+        # conftest-documented segfault, so disable it in the child too
+        "jax.config.update('jax_enable_compilation_cache', False)\n"
         "import numpy as np, jax.numpy as jnp\n"
         "from vanishing_points_2017_tpu.ops.sort_pallas import "
         "sort_records_pallas\n"
@@ -76,7 +80,7 @@ def test_sort_records_detector_scale():
                PYTHONPATH=here + os.pathsep + os.environ.get(
                    "PYTHONPATH", ""))
     out = subprocess.run([sys.executable, "-c", body], env=env,
-                         capture_output=True, text=True, timeout=1200)
+                         capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, (out.returncode, out.stdout[-2000:],
                                  out.stderr[-2000:])
     assert "DETECTOR_SCALE_SORT_OK" in out.stdout
@@ -222,5 +226,8 @@ def test_group_stats_matches_xla_component_stats():
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # sitecustomize wires the persistent compilation cache; serializing
+    # the giant interpret-mode executable segfaults (conftest.py note)
+    jax.config.update("jax_enable_compilation_cache", False)
     _group_stats_oracle_body()
     print("GROUP_STATS_ORACLE_OK")

@@ -580,7 +580,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
 
     Segments are sorted by decreasing accumulated gradient mass.
     ``runs_per_row`` bounds the per-row run-record budget of the selection
-    stage (default max(48, max_segments/16)); rows denser than that drop
+    stage (default max(64, max_segments/8)); rows denser than that drop
     their weakest runs, so dense-scene users can raise it explicitly.
     ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
     raster passes did not reach the CCL fixpoint (debug aid; the passes

@@ -99,10 +99,20 @@ class PipelineConfig:
         for cached results produced through the on-device detector
         (``benchmark.py --device_detect``), so detector-gate or
         selection-strategy changes invalidate exactly those caches and
-        never the host-LSD ones (whose results don't depend on det_*)."""
+        never the host-LSD ones (whose results don't depend on det_*).
+
+        Includes the RESOLVED kernel impls: the Pallas grouping sort
+        orders equal-root records differently from the canonical XLA
+        path (different f32 association), so a VP_SORT_IMPL flip must
+        not serve the other mode's cached numerics. (Pallas CCL is
+        bit-exact vs the XLA raster scan — included anyway so a future
+        impl with different labels cannot contaminate.)"""
+        import os
+        sort = self.sort_impl or os.environ.get("VP_SORT_IMPL", "xla")
+        ccl = self.ccl_impl or os.environ.get("VP_CCL_IMPL", "pallas")
         return (f"det{self.det_selection}{self.det_min_count}"
                 f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
-                f"-{self.det_max_records}")
+                f"-{self.det_max_records}-{sort}-{ccl}")
 
 
 def pad_lines(segments: np.ndarray, n_pad: int):
