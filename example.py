@@ -58,6 +58,11 @@ def main() -> int:
                     help="write visualizations to assets/results/")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--mean", default=None)
+    ap.add_argument("--images", nargs="*", default=None, metavar="PATH",
+                    help="run on these image files (or all jpg/png in a "
+                         "directory) instead of the bundled generated "
+                         "scenes — e.g. the reference checkout's "
+                         "assets/examples photos")
     args = ap.parse_args()
 
     if args.device:
@@ -74,8 +79,20 @@ def main() -> int:
     params, mean = wload.load_params_and_mean(args.weights, args.mean)
     pipe = Pipeline(params=params, mean=mean, cfg=PipelineConfig())
 
+    if args.images:
+        paths = []
+        for p in args.images:
+            if os.path.isdir(p):
+                paths += sorted(
+                    os.path.join(p, f) for f in os.listdir(p)
+                    if f.lower().endswith((".jpg", ".jpeg", ".png")))
+            else:
+                paths.append(p)
+    else:
+        paths = ensure_examples()
+
     os.makedirs(RESULTS, exist_ok=True)
-    for path in ensure_examples():
+    for path in paths:
         print("image file: ", path)
         image = dio.load_image(path)
         res = pipe.process(image, target_size=640)
@@ -90,7 +107,7 @@ def main() -> int:
         print(hp1)
         print(hp2)
 
-        gt = path.replace(".png", ".horizon.npy")
+        gt = os.path.splitext(path)[0] + ".horizon.npy"
         if os.path.isfile(gt):
             from vanishing_points_2017_tpu.data.datasets import (
                 normalized_horizon_error)
@@ -103,7 +120,8 @@ def main() -> int:
             from vanishing_points_2017_tpu import viz
             small = dio.resize_max(image, 640)
             out_png = os.path.join(
-                RESULTS, os.path.basename(path).replace(".png", ".result.png"))
+                RESULTS,
+                os.path.splitext(os.path.basename(path))[0] + ".result.png")
             viz.show_em_result(res, small, out_png, maxbest=3,
                                horizon=(hp1, hp2))
             print("wrote", out_png)
