@@ -5,7 +5,10 @@ Mirrors ``example.py`` of fkluger/vanishing_points_2017 (which processes 4
 bundled photos and visualizes with ``--show``). The reference's photos are
 its author's assets, so this repo bundles procedurally generated Manhattan
 scenes instead (created on first run under ``assets/examples/``, with exact
-ground-truth horizons saved alongside). ``--show`` writes the 3-panel
+ground-truth horizons saved alongside); ``--images <dir|files>`` runs the
+driver on arbitrary photographs instead (e.g. the reference checkout's
+``assets/examples``, whose published result figures these horizons land
+on — BASELINE.md real-photo table). ``--show`` writes the 3-panel
 visualizations to ``assets/results/``.
 """
 

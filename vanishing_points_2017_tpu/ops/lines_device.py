@@ -372,9 +372,12 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         # 42 runs/row, p99 142) and at 48 the dropped rows demonstrably
         # move the horizon (uni_hannover_lichthof err 0.215 at 48 vs
         # 0.006 at 64, scripts/sweep_detector_gates.py round 3). 64 is
-        # the smallest budget that held on all real photos; the record
-        # count H*k is the detector's main cost axis (see TODO item 3).
-        runs_per_row = max(64, max_segments // 8)
+        # the smallest budget that held on all real photos at 640 px;
+        # run counts scale with row WIDTH, so the default scales as w/10
+        # (= exactly 64 at the arbitration width — every 640-px result
+        # is bit-unchanged — and 80 at the ECD/HLW 800-px resize). The
+        # record count H*k is the detector's main cost axis (TODO 3).
+        runs_per_row = max(64, w // 10, max_segments // 8)
     f32 = jnp.float32
     r2 = root.reshape(h, w)
     w2 = wgt.reshape(h, w)
@@ -580,7 +583,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
 
     Segments are sorted by decreasing accumulated gradient mass.
     ``runs_per_row`` bounds the per-row run-record budget of the selection
-    stage (default max(64, max_segments/8)); rows denser than that drop
+    stage (default max(64, w/10, max_segments/8)); rows denser than that drop
     their weakest runs, so dense-scene users can raise it explicitly.
     ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
     raster passes did not reach the CCL fixpoint (debug aid; the passes
