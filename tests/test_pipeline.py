@@ -80,6 +80,27 @@ def test_batch_matches_single(pipe):
                                np.asarray(out_0["hp1"]), atol=1e-4)
 
 
+def test_det_key_tracks_detector_config():
+    """Device-detect cache identity must change with every field that
+    changes detector outputs — gates, selection strategy, budget, and
+    the grouping-sort impl (whose equal-root tie order changes f32
+    results on the Pallas path) — and must NOT change with EM config
+    (that is cache_key()'s job)."""
+    import dataclasses
+    from vanishing_points_2017_tpu.pipeline import PipelineConfig
+
+    base = PipelineConfig()
+    seen = {base.det_key()}
+    for field, val in (("det_min_count", 20), ("det_min_len_px", 15.0),
+                       ("det_min_density", 0.0), ("det_selection", "global"),
+                       ("det_max_records", 16384), ("sort_impl", "pallas")):
+        key = dataclasses.replace(base, **{field: val}).det_key()
+        assert key not in seen, (field, key)
+        seen.add(key)
+    em2 = dataclasses.replace(base, maxbest=10)
+    assert em2.det_key() == base.det_key()
+
+
 def test_stage_cache_roundtrip(tmp_path):
     cache = StageCache(str(tmp_path), "cfgkey")
     cache.save("img_001", "lines", segments=np.ones((5, 4)),

@@ -106,6 +106,26 @@ def test_device_detector_path_on_real_photos():
 
 
 @pytest.mark.slow
+def test_example_driver_on_reference_photos(tmp_path, monkeypatch):
+    """`example.py --images <photo> --show` (the reference example.py's
+    role on its own bundled photographs): must process a real photo end
+    to end and write the 3-panel result figure."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import example as example_mod
+
+    monkeypatch.setattr(example_mod, "RESULTS", str(tmp_path))
+    photo = os.path.join(REF_EXAMPLES, "uni_hannover.jpg")
+    monkeypatch.setattr(sys, "argv",
+                        ["example.py", "--device", "cpu", "--show",
+                         "--images", photo])
+    assert example_mod.main() == 0
+    out = tmp_path / "uni_hannover.result.png"
+    assert out.is_file() and out.stat().st_size > 10_000
+
+
+@pytest.mark.slow
 def test_upward_view_photo_still_valid():
     """nord_lb looks steeply up (no in-frame horizon in the reference
     figure); the pipeline must still produce a valid EM result with a
