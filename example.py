@@ -82,7 +82,7 @@ def main() -> int:
     params, mean = wload.load_params_and_mean(args.weights, args.mean)
     pipe = Pipeline(params=params, mean=mean, cfg=PipelineConfig())
 
-    if args.images:
+    if args.images is not None:
         paths = []
         for p in args.images:
             if os.path.isdir(p):
@@ -91,6 +91,9 @@ def main() -> int:
                     if f.lower().endswith((".jpg", ".jpeg", ".png")))
             else:
                 paths.append(p)
+        if not paths:
+            ap.error("--images resolved to no jpg/jpeg/png files "
+                     f"(got: {args.images!r})")
     else:
         paths = ensure_examples()
 

@@ -80,25 +80,34 @@ def test_batch_matches_single(pipe):
                                np.asarray(out_0["hp1"]), atol=1e-4)
 
 
-def test_det_key_tracks_detector_config():
+def test_det_key_tracks_detector_config(monkeypatch):
     """Device-detect cache identity must change with every field that
-    changes detector outputs — gates, selection strategy, budget, and
-    the grouping-sort impl (whose equal-root tie order changes f32
-    results on the Pallas path) — and must NOT change with EM config
-    (that is cache_key()'s job)."""
+    changes detector outputs — gates, selection strategy, budget — and
+    must NOT change with EM config (that is cache_key()'s job) nor with
+    impl requests that the dispatch would not honor: the Pallas impls
+    only run on a TPU backend (lines_device dispatch gates), so on this
+    CPU test backend sort_impl='pallas' resolves to the xla key — the
+    key records what RAN, not what was asked for. Env defaults are
+    cleared so a developer's exported VP_*_IMPL cannot skew this."""
     import dataclasses
     from vanishing_points_2017_tpu.pipeline import PipelineConfig
 
+    monkeypatch.delenv("VP_SORT_IMPL", raising=False)
+    monkeypatch.delenv("VP_CCL_IMPL", raising=False)
     base = PipelineConfig()
     seen = {base.det_key()}
     for field, val in (("det_min_count", 20), ("det_min_len_px", 15.0),
                        ("det_min_density", 0.0), ("det_selection", "global"),
-                       ("det_max_records", 16384), ("sort_impl", "pallas")):
+                       ("det_max_records", 16384)):
         key = dataclasses.replace(base, **{field: val}).det_key()
         assert key not in seen, (field, key)
         seen.add(key)
     em2 = dataclasses.replace(base, maxbest=10)
     assert em2.det_key() == base.det_key()
+    # CPU backend: a pallas request cannot run, so it must key as xla
+    unhonored = dataclasses.replace(base, sort_impl="pallas")
+    assert unhonored.det_key() == base.det_key()
+    assert base.det_key().endswith("-xla-xla")
 
 
 def test_stage_cache_roundtrip(tmp_path):

@@ -106,10 +106,18 @@ class PipelineConfig:
         path (different f32 association), so a VP_SORT_IMPL flip must
         not serve the other mode's cached numerics. (Pallas CCL is
         bit-exact vs the XLA raster scan — included anyway so a future
-        impl with different labels cannot contaminate.)"""
+        impl with different labels cannot contaminate.) Resolution
+        mirrors the dispatch sites in ops/lines_device.py exactly: the
+        Pallas impls only ever run when the default backend is TPU, so
+        a CPU run keys as xla whatever the env says."""
         import os
+
+        import jax
+        on_tpu = jax.default_backend() == "tpu"
         sort = self.sort_impl or os.environ.get("VP_SORT_IMPL", "xla")
+        sort = "pallas" if (on_tpu and sort == "pallas") else "xla"
         ccl = self.ccl_impl or os.environ.get("VP_CCL_IMPL", "pallas")
+        ccl = "xla" if (not on_tpu or ccl == "xla") else "pallas"
         return (f"det{self.det_selection}{self.det_min_count}"
                 f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
                 f"-{self.det_max_records}-{sort}-{ccl}")
