@@ -346,7 +346,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
 
     A component's pixels within one image row are contiguous runs, so
     per-row segmented scans (dense vector work) produce each run's mass,
-    weighted moments (w, wx, wy, wxx, wxy, wyy, count) and endpoint
+    x-moments and count (w, wx, wxx, count — the y-moments are derived
+    per record since y is constant within a row-run) and endpoint
     coordinates at its last pixel. Per-row top-``runs_per_row`` (by run
     mass) compresses the grid to H*k records; those are sorted by root
     once, reduced per group by segmented doubling sums, and each group's
@@ -388,8 +389,15 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     is_end = jnp.concatenate(
         [r2[:, 1:] != r2[:, :-1], jnp.ones((h, 1), bool)], axis=1)
     log_w = max(1, math.ceil(math.log2(w)))
-    q = jnp.stack([w2, w2 * xn2, w2 * yn2, w2 * xn2 * xn2, w2 * xn2 * yn2,
-                   w2 * yn2 * yn2, (w2 > 0).astype(f32)], axis=0)  # (7,H,W)
+    # Only the x-moments (and mass/count) need a per-pixel scan: within a
+    # row-run yn2 is CONSTANT, so the y-moments are per-record products of
+    # the run's y with its w/wx sums (wy = y*w, wxx stays, wxy = y*wx,
+    # wyy = y^2*w) — computed below on the ~10x smaller record set. Cuts
+    # the dominant (C, H, W) doubling scan from 7 channels to 4.
+    # Mathematically exact; f32 rounding of the per-record products
+    # differs from the per-pixel sums (gated on the real-photo suite).
+    q = jnp.stack([w2, w2 * xn2, w2 * xn2 * xn2,
+                   (w2 > 0).astype(f32)], axis=0)  # (4,H,W)
     qs = _segmented_sum_scan(q, conn[None], log_w)
     x_first = _segmented_copy_first(xn2, conn, log_w)
 
@@ -419,19 +427,24 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         row_i = jnp.arange(h, dtype=jnp.int32)[:, None]
         flat_pos = (row_i * w + top_pos.astype(jnp.int32)).reshape(-1)
     # fetch every record channel with ONE row-gather of the stacked
-    # (H*W, 10) matrix at the selected flat positions. Chip-measured:
+    # (H*W, 7) matrix at the selected flat positions. Chip-measured:
     # per-channel minor-axis take_along_axis gathers run at ~200
     # ns/element on TPU — 13 of them at (H, 64) were ~6 ms/img, the
     # dominant hidden cost of the row path — while the row-gather's
     # per-record DMA is ~free. Identical values in identical (row-major)
     # order, so outputs are bit-identical to the take formulation.
-    g = jnp.stack([*(qs[i].reshape(-1) for i in range(7)),
+    g = jnp.stack([*(qs[i].reshape(-1) for i in range(4)),
                    x_first.reshape(-1), xn2.reshape(-1),
                    yn2.reshape(-1)],
-                  axis=1)[flat_pos]                           # (R, 10)
+                  axis=1)[flat_pos]                           # (R, 7)
     rec_root = jnp.where(rec_ok, r2.reshape(-1)[flat_pos], -1)
-    rec_q = [jnp.where(rec_ok, g[:, i], 0.0) for i in range(7)]
-    rec_x0, rec_x1, rec_y = g[:, 7], g[:, 8], g[:, 9]
+    rec_w, rec_wx, rec_wxx, rec_cnt = [
+        jnp.where(rec_ok, g[:, i], 0.0) for i in range(4)]
+    rec_x0, rec_x1, rec_y = g[:, 4], g[:, 5], g[:, 6]
+    # derive the y-moments per record (yn2 constant within a row-run;
+    # rec_w/rec_wx are zeroed for invalid records, so the products are too)
+    rec_q = [rec_w, rec_wx, rec_y * rec_w, rec_wxx, rec_y * rec_wx,
+             rec_y * rec_y * rec_w, rec_cnt]
     rec_pos = flat_pos
 
     # ---- one sort by root groups each component's records contiguously,
@@ -530,20 +543,26 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     ddx = jnp.where(ok_e, ex / jnp.where(ok_e, en, 1.0), 1.0)
     ddy = jnp.where(ok_e, ey / jnp.where(ok_e, en, 1.0), 0.0)
 
-    # ---- broadcast each group's END direction back to its records
+    # ---- broadcast each group's END direction back to its records.
+    # The group stage is op-COUNT-bound on TPU (each doubling round is a
+    # handful of ~40k-element ops at fixed per-op dispatch latency), so
+    # paired scans sharing a conn mask are stacked into ONE scan over a
+    # (2, R) operand — identical elementwise ops per lane, bit-identical
+    # results, half the HLO ops.
     same_next = jnp.concatenate([rs[:-1] == rs[1:], jnp.zeros((1,), bool)])
     flip_conn = same_next[::-1]
-    ddx_b = _segmented_copy_first(ddx[::-1], flip_conn, log_r)[::-1]
-    ddy_b = _segmented_copy_first(ddy[::-1], flip_conn, log_r)[::-1]
+    dd_b = _segmented_copy_first(
+        jnp.stack([ddx[::-1], ddy[::-1]]), flip_conn[None], log_r)[:, ::-1]
+    ddx_b, ddy_b = dd_b[0], dd_b[1]
 
     # ---- extremal projections: per-run extrema sit at run endpoints
     t0 = ddx_b * sx0 + ddy_b * sy
     t1 = ddx_b * sx1 + ddy_b * sy
     inf = jnp.where(rs >= 0, 0.0, jnp.inf)  # invalid records can't win
-    gmin = _segmented_min_scan_rows(
-        jnp.minimum(t0, t1) + inf, gconn, log_r)
-    gmax = -_segmented_min_scan_rows(
-        -jnp.maximum(t0, t1) + inf, gconn, log_r)
+    gmm = _segmented_min_scan_rows(
+        jnp.stack([jnp.minimum(t0, t1) + inf,
+                   -jnp.maximum(t0, t1) + inf]), gconn[None], log_r)
+    gmin, gmax = gmm[0], -gmm[1]
 
     # ---- top-k components by total mass (group ends only)
     score = jnp.where(g_end & (rs >= 0), gsum[0], -1.0)
