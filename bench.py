@@ -117,6 +117,7 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
             cfg, det_selection=os.environ["BENCH_DET_SELECTION"])
     # trained weights when available: the EM iteration count (and thus the
     # honest throughput) depends on the CNN prior's quality
+    weights_fp = wload.weights_identity()
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
 
@@ -317,6 +318,7 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
     device_kind = jax.devices()[0].device_kind
     sys.stderr.write(
         f"bench[{platform}/{split}]: device={device_kind} batch={batch} "
+        f"weights={weights_fp} "
         f"iters={iters} size={size} compile_full={compile_full_s:.1f}s "
         f"first_exec={first_exec_s:.1f}s "
         f"e2e={e2e_ips:.2f} img/s (serial={serial_ips:.2f}, "
@@ -346,6 +348,7 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
             "batch": batch,
             "em_kernel": cfg.em.kernel,
             "det_selection": cfg.det_selection,
+            "weights_fingerprint": weights_fp,
             "serial_images_per_sec": round(serial_ips, 3),
             "compute_images_per_sec": round(compute_ips, 3),
             "fused_device_images_per_sec":

@@ -86,6 +86,7 @@ def main() -> int:
         ap.error("pick a dataset: --yud / --ecd / --hlw / --synthetic")
 
     cfg = PipelineConfig()
+    wfp = wload.weights_identity(args.weights)
     params, mean = wload.load_params_and_mean(args.weights, args.mean,
                                               warn=not args.no_weights_warn)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
@@ -102,10 +103,14 @@ def main() -> int:
     # device-detect results also key on the detector config (gates +
     # selection strategy), so detector changes invalidate exactly those
     # caches; host-LSD results don't depend on det_* and keep their key
-    cache_key = cfg.cache_key() + (
+    # the weights fingerprint is part of the cache identity too: results
+    # downstream of the CNN depend on the exact weights artifact, and a
+    # retrain must never serve a previous artifact's cached results
+    cache_key = cfg.cache_key() + "_w" + wfp + (
         "_devdet_" + cfg.det_key() if args.device_detect else "")
     cache = StageCache(os.path.join(args.result_dir, name), cache_key)
-    print(f"dataset: {name}  images: {len(records)}  skip: {start}")
+    print(f"dataset: {name}  images: {len(records)}  skip: {start}  "
+          f"weights: {wfp}")
 
     # ---- stage 1: host ingest (+ LSD unless detection runs on device) ----
     for rec in records:

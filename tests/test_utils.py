@@ -41,3 +41,58 @@ def test_params_npz_roundtrip(tmp_path):
         for k in params[layer]:
             np.testing.assert_array_equal(np.asarray(params[layer][k]),
                                           np.asarray(back[layer][k]))
+
+
+def test_artifact_fingerprint_tracks_content(tmp_path):
+    p = tmp_path / "w.npz"
+    p.write_bytes(b"weights-v1")
+    f1 = wload.artifact_fingerprint(str(p))
+    assert f1 != "none" and len(f1) == 16
+    assert wload.artifact_fingerprint(str(p)) == f1  # cached, stable
+    import os
+    p.write_bytes(b"weights-v2")
+    os.utime(p, ns=(1, 1))  # force distinct mtime even on coarse clocks
+    assert wload.artifact_fingerprint(str(p)) != f1
+    assert wload.artifact_fingerprint(str(tmp_path / "missing.npz")) == "none"
+    assert wload.artifact_fingerprint(None) == "none"
+
+
+def test_default_weights_path_shadowing(tmp_path, monkeypatch, capsys):
+    """A stale gitignored dense artifact must NOT shadow the versioned
+    compact weights; a FRESHER dense retrain wins with a notice."""
+    import os
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    compact = assets / "weights_compact.npz"
+    dense = assets / "weights.npz"
+    monkeypatch.setattr(wload, "_repo_root", lambda: str(tmp_path))
+
+    # only compact -> compact
+    compact.write_bytes(b"compact")
+    assert wload.default_weights_path(warn=False) == str(compact)
+
+    # stale dense (older mtime) -> still compact, with a notice
+    dense.write_bytes(b"dense-old")
+    os.utime(dense, ns=(10, 10))
+    os.utime(compact, ns=(20, 20))
+    assert wload.default_weights_path() == str(compact)
+    assert "IGNORING stale dense" in capsys.readouterr().out
+
+    # fresher dense retrain -> dense, with a notice
+    os.utime(dense, ns=(30, 30))
+    assert wload.default_weights_path() == str(dense)
+    assert "dense retrain" in capsys.readouterr().out
+
+    # only dense -> dense
+    compact.unlink()
+    assert wload.default_weights_path(warn=False) == str(dense)
+
+
+def test_weights_identity_resolves_default(tmp_path, monkeypatch):
+    monkeypatch.setattr(wload, "_repo_root", lambda: str(tmp_path))
+    assert wload.weights_identity() == "none"  # no assets at all
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "weights_compact.npz").write_bytes(b"compact")
+    fp = wload.weights_identity()
+    assert fp == wload.artifact_fingerprint(str(assets / "weights_compact.npz"))

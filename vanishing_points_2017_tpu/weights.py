@@ -9,6 +9,8 @@ bundled ``assets/weights.npz`` if present, else freshly initialized params
 
 from __future__ import annotations
 
+import functools
+import hashlib
 import os
 
 import numpy as np
@@ -50,22 +52,77 @@ def params_from_npz(path: str, with_step: bool = False):
     return (params, step) if with_step else params
 
 
-def default_weights_path() -> str:
-    """Dense retrained weights when present (~1 GB, gitignored), else the
-    VERSIONED factorized float16 artifact (assets/weights_compact.npz,
-    rank-256 fc6/fc7 via scripts/compress_weights.py; synthetic AUC
-    0.9737 vs 0.9764 dense) so a fresh clone runs at full quality with
-    no retrain."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+@functools.lru_cache(maxsize=32)
+def _fingerprint_cached(path: str, size: int, mtime_ns: int) -> str:
+    h = hashlib.blake2b(digest_size=8)
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def artifact_fingerprint(path: str | None) -> str:
+    """Short content hash of a weights/mean artifact file.
+
+    Two runs with different weights must never be confused in the
+    record or serve each other's caches: the fingerprint goes into the
+    printed run header, ``bench.py``'s breakdown JSON and the
+    ``StageCache`` config key (like the detector's ``det_key``). Cached
+    per (path, size, mtime) so repeated calls don't rehash a ~GB dense
+    artifact. Returns "none" for a missing/absent artifact (random
+    init)."""
+    if not path or not os.path.isfile(path):
+        return "none"
+    st = os.stat(path)
+    return _fingerprint_cached(os.path.abspath(path), st.st_size,
+                               st.st_mtime_ns)
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def default_weights_path(warn: bool = True) -> str:
+    """The VERSIONED factorized float16 artifact
+    (assets/weights_compact.npz, rank-256 fc6/fc7 via
+    scripts/compress_weights.py; synthetic AUC 0.9737 vs 0.9764 dense)
+    so a fresh clone runs at full quality with no retrain — unless a
+    dense retrained ``assets/weights.npz`` (~1 GB, gitignored) exists
+    AND is newer than the compact artifact, in which case the fresher
+    retrain wins with a visible notice (a stale leftover dense file
+    must not silently shadow the versioned weights and change every
+    AUC/bench number)."""
+    here = _repo_root()
     dense = os.path.join(here, "assets", "weights.npz")
+    compact = os.path.join(here, "assets", "weights_compact.npz")
     if os.path.isfile(dense):
-        return dense
-    return os.path.join(here, "assets", "weights_compact.npz")
+        if not os.path.isfile(compact):
+            return dense
+        if os.path.getmtime(dense) >= os.path.getmtime(compact):
+            if warn:
+                print(f"weights: using dense retrain {dense} "
+                      f"[{artifact_fingerprint(dense)}] (newer than the "
+                      "versioned compact artifact)")
+            return dense
+        if warn:
+            print(f"weights: IGNORING stale dense {dense} (older than the "
+                  "versioned compact artifact; delete it or retrain to "
+                  "use it)")
+    return compact
 
 
 def default_mean_path() -> str:
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(here, "assets", "mean.npy")
+    return os.path.join(_repo_root(), "assets", "mean.npy")
+
+
+def weights_identity(weights_path: str | None = None) -> str:
+    """Fingerprint of the artifact :func:`load_params_and_mean` would load
+    for ``weights_path`` (default resolution included). "none" = random
+    init."""
+    if weights_path is None:
+        p = default_weights_path(warn=False)
+        weights_path = p if os.path.isfile(p) else None
+    return artifact_fingerprint(weights_path)
 
 
 def load_params_and_mean(weights_path: str | None = None,
@@ -74,8 +131,8 @@ def load_params_and_mean(weights_path: str | None = None,
     from .models import caffe_import
 
     params = None
-    if weights_path is None and os.path.isfile(default_weights_path()):
-        weights_path = default_weights_path()
+    if weights_path is None and os.path.isfile(default_weights_path(warn)):
+        weights_path = default_weights_path(warn=False)
     if weights_path:
         if weights_path.endswith(".caffemodel"):
             params = caffe_import.caffemodel_to_params(weights_path)
