@@ -47,7 +47,7 @@ The reference cannot run in this image (Python 2 + Caffe), so
 vs_baseline is an ESTIMATE, not a measurement.
 
 Env knobs: BENCH_DEADLINE (s), BENCH_BATCH, BENCH_ITERS,
-BENCH_IMAGE_SIZE, BENCH_EM_KERNEL (xla|pallas), BENCH_DET_SELECTION
+BENCH_IMAGE_SIZE, BENCH_DET_SELECTION
 (row|global record selection), BENCH_FUSED=1 (single
 fused program instead of two), BENCH_BREAKDOWN=1 (adds the lines->
 horizon fused split, a second server setup on axon), BENCH_PEAK_FLOPS,
@@ -104,10 +104,6 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
     from vanishing_points_2017_tpu import weights as wload
 
     cfg = PipelineConfig()
-    if os.environ.get("BENCH_EM_KERNEL", "xla") != "xla":
-        import dataclasses
-        cfg = dataclasses.replace(cfg, em=dataclasses.replace(
-            cfg.em, kernel=os.environ["BENCH_EM_KERNEL"]))
     if os.environ.get("BENCH_DET_SELECTION"):
         # "global" = the image-wide record-selection throughput mode
         # (PipelineConfig.det_selection); the default benches the
@@ -346,7 +342,6 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
                               "3": "three_program"}.get(split, split),
             "image_size": size,
             "batch": batch,
-            "em_kernel": cfg.em.kernel,
             "det_selection": cfg.det_selection,
             "weights_fingerprint": weights_fp,
             "serial_images_per_sec": round(serial_ips, 3),
@@ -367,7 +362,7 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
 def worker_main(spec_path: str) -> int:
     with open(spec_path) as fh:
         spec = json.load(fh)
-    # env overrides (e.g. VP_CCL_IMPL/VP_SORT_IMPL=xla on the fallback
+    # env overrides (e.g. VP_CCL_IMPL=xla on the fallback
     # rung) take effect here: the detector reads them at trace time
     os.environ.update(spec.get("env", {}))
     rec = measure(spec["platform"], spec["split"], spec["batch"],
@@ -499,11 +494,11 @@ def parent_main() -> int:
 
     tpu1 = _Attempt("tpu_primary", "axon", tpu_split, batch, iters, size,
                     breakdown)
-    # the fallback rung strips every Pallas kernel (VP_*=xla): covers both
-    # a degraded compile service (smallest programs) AND a Mosaic rejection
-    # of the detector kernels on the real chip
+    # the fallback rung strips the Pallas CCL kernel (VP_CCL_IMPL=xla):
+    # covers both a degraded compile service (smallest programs) AND a
+    # Mosaic rejection of the kernel on the real chip
     tpu2 = _Attempt("tpu_fallback3", "axon", "3", batch, iters, size, False,
-                    env={"VP_CCL_IMPL": "xla", "VP_SORT_IMPL": "xla"})
+                    env={"VP_CCL_IMPL": "xla"})
     cpu = _Attempt("cpu_fallback", "cpu", "2", cpu_batch, cpu_iters, size,
                    False)
     attempts.extend([tpu1, tpu2, cpu])

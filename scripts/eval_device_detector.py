@@ -31,8 +31,12 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--paths", default="host,full",
                     help="comma list: host, full, ideal")
-    ap.add_argument("--em_kernel", default="xla",
-                    help="EM plain-phase backend: xla | pallas")
+    ap.add_argument("--det_selection", default=None,
+                    help="override PipelineConfig.det_selection "
+                         "(row | global)")
+    ap.add_argument("--horizon_tol", type=float, default=None,
+                    help="override PipelineConfig.horizon_pos_gate_tol "
+                         "(inf = exact reference gating)")
     ap.add_argument("--cnn_dtype", default=None,
                     help="override PipelineConfig.cnn_dtype "
                          "(float32 | bfloat16) for the bf16-default "
@@ -58,14 +62,13 @@ def main() -> int:
         device_pipeline_full, pad_lines)
     from vanishing_points_2017_tpu import weights as wload
 
+    import dataclasses
     cfg = PipelineConfig()
-    if args.em_kernel != "xla":
-        import dataclasses
-        from vanishing_points_2017_tpu.em import EMConfig
-        cfg = dataclasses.replace(
-            cfg, em=dataclasses.replace(cfg.em, kernel=args.em_kernel))
+    if args.det_selection:
+        cfg = dataclasses.replace(cfg, det_selection=args.det_selection)
+    if args.horizon_tol is not None:
+        cfg = dataclasses.replace(cfg, horizon_pos_gate_tol=args.horizon_tol)
     if args.cnn_dtype:
-        import dataclasses
         cfg = dataclasses.replace(cfg, cnn_dtype=args.cnn_dtype)
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)

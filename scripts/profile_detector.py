@@ -119,18 +119,18 @@ def main() -> int:
                   im, r, m, a, k))),
               images, root, mag, active)
 
-    # whole detector per impl combo — EXPLICIT args (static jit keys),
-    # not env flips: detect_segments_device is itself a jit, so an env
-    # read at trace time is never repeated on a cache hit
-    combos = [("pallas", "pallas"), ("xla", "xla"), ("pallas", "xla"),
-              ("xla", "pallas")] if jax.default_backend() != "cpu" \
-        else [("xla", "xla")]
-    for ccl_impl, sort_impl in combos:
-        det = jax.jit(jax.vmap(
-            lambda im, c=ccl_impl, s=sort_impl: ld.detect_segments_device(
-                im, max_segments=n_pad, ccl_impl=c, sort_impl=s)))
-        bench(f"whole detector ccl={ccl_impl} sort={sort_impl}",
-              det, images)
+    # whole detector per CCL impl and selection mode — EXPLICIT args
+    # (static jit keys), not env flips: detect_segments_device is itself
+    # a jit, so an env read at trace time is never repeated on a cache hit
+    ccls = ["pallas", "xla"] if jax.default_backend() != "cpu" else ["xla"]
+    for ccl_impl in ccls:
+        for selection in ("row", "global"):
+            det = jax.jit(jax.vmap(
+                lambda im, c=ccl_impl, s=selection: ld.detect_segments_device(
+                    im, max_segments=n_pad, ccl_impl=c, selection=s,
+                    max_records=16384 if s == "global" else 32768)))
+            bench(f"whole detector ccl={ccl_impl} selection={selection}",
+                  det, images)
     return 0
 
 

@@ -26,8 +26,8 @@ jax.config.update("jax_platforms", "cpu")
 # The image's sitecustomize also wires JAX's persistent compilation cache
 # (axon/register/ifrt.py patches jax._src.compilation_cache), so test
 # processes write every CPU executable to .jax_cache — gigabytes of junk,
-# and serializing the large interpret-mode Pallas programs SEGFAULTS in
-# put_executable_and_time (observed: full suite rc=139 at
-# test_group_stats_matches_xla_component_stats). Tests want fresh
+# and serializing large interpret-mode Pallas programs SEGFAULTS in
+# put_executable_and_time (observed round 3: full suite rc=139 in the
+# since-retired packed group-stats oracle test). Tests want fresh
 # compiles; disable the cache entirely.
 jax.config.update("jax_enable_compilation_cache", False)

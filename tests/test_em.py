@@ -105,21 +105,3 @@ def test_em_area_measure_rejected():
         EMConfig(distance_measure="area")
 
 
-@pytest.mark.slow
-def test_em_pallas_phase_kernel_matches_xla():
-    """The fused per-image phase kernel (interpret mode on CPU) must
-    reproduce the XLA plain-iteration path: identical iteration counts
-    and alive sets, VPs within the polynomial-atan tolerance."""
-    for seed in (1, 4):
-        scene, args = build_inputs(seed=seed)
-        r_x = expectation_maximisation(*args, EMConfig())
-        r_p = expectation_maximisation(*args, EMConfig(kernel="pallas"))
-        assert int(r_x.iterations) == int(r_p.iterations)
-        np.testing.assert_array_equal(np.asarray(r_x.alive),
-                                      np.asarray(r_p.alive))
-        vx = np.asarray(r_x.vp)[np.asarray(r_x.alive)]
-        vp = np.asarray(r_p.vp)[np.asarray(r_p.alive)]
-        dots = np.abs(np.sum(vx * vp, axis=1))
-        assert np.all(dots > 1.0 - 5e-6), dots  # < ~0.2 degrees
-        np.testing.assert_array_equal(np.asarray(r_x.counts),
-                                      np.asarray(r_p.counts))

@@ -81,6 +81,73 @@ def test_gates_all_fail_uses_first_triplet():
     assert set(np.asarray(combo).tolist()) == {0, 1, 2}
 
 
+def _near_ideal_zenith_vps():
+    """4 VPs staging the ihme failure mode (BASELINE.md round 4):
+
+    * Z — the STRONG zenith, nearly at infinity (|y/z| = 10 half-frames:
+      near-parallel verticals on a telephoto facade) with high counts;
+      its horizon VPs v1/v2 sit ABOVE the image centre, so the
+      reference's ``zenithPos*horPos==1`` side gate (calc_horizon.py:
+      174-183) rejects the {Z, v1, v2} triplet.
+    * zj — a junk zenith candidate (|y/z| = 1.6, well-conditioned side
+      information) with tiny counts whose triplet {zj, v1, v2} passes
+      every gate.
+    """
+    vps = np.array([
+        [0.05, 0.99, 0.099],   # Z: strong near-ideal zenith (y/z = 10)
+        [3.0, 0.2, 1.0],       # v1: horizon VP, above centre, off-image
+        [-2.5, 0.18, 1.0],     # v2: horizon VP, above centre, off-image
+        [0.3, -0.8, 0.5],      # zj: junk zenith, side gate satisfied
+    ], np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    counts = np.array([60.0, 50.0, 40.0, 5.0])
+    return vps, counts
+
+
+def test_pos_gate_reference_behavior_rejects_strong_zenith():
+    """tol=inf (exact reference gating): the side gate kills every
+    triplet containing the strong near-ideal zenith, so the junk
+    triplet's tiny counts win — the failure mode measured on the
+    reference's bundled ihme photo (horizon err 0.45)."""
+    vps, counts = _near_ideal_zenith_vps()
+    v, c, a = pad_slots(vps, counts)
+    *_, z_vp, h1, h2, combo = calculate_horizon_and_ortho_vp(v, c, a)
+    np.testing.assert_allclose(np.asarray(z_vp), vps[3], atol=1e-5)
+    assert 3 in np.asarray(combo).tolist()
+
+
+def test_pos_gate_ideal_tol_waives_side_check():
+    """tol=8 (production default): |y| > 8|z| waives the side check for
+    the strong zenith only — its triplet outscores the junk one on
+    counts, and the horizon lands at the strong zenith's perpendicular."""
+    vps, counts = _near_ideal_zenith_vps()
+    v, c, a = pad_slots(vps, counts)
+    hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(
+        v, c, a, pos_gate_ideal_tol=8.0)
+    np.testing.assert_allclose(np.asarray(z_vp), vps[0], atol=1e-5)
+    assert set(np.asarray(combo).tolist()) == {0, 1, 2}
+    # the waiver is zenith-conditioned, not a global gate removal: the
+    # junk zenith (y/z = 1.6 < 8) still had its side gate applied and
+    # passed it — only relative scores changed the winner
+    hp1, hp2 = np.asarray(hp1), np.asarray(hp2)
+    # horizon ~ at the horizon VPs' height (y ~ +0.19), perpendicular to Z
+    assert 0.1 < (hp1[1] + hp2[1]) / 2 < 0.3
+
+
+def test_pos_gate_tol_exact_vertical_zenith():
+    """A zenith exactly at infinity (z == 0) must be waived at any
+    finite tol (|y| > tol*0) and must NOT be waived at tol=inf
+    (inf*0 = NaN compares False — the reference's always-apply gate)."""
+    vps, counts = _near_ideal_zenith_vps()
+    vps[0] = [0.0, 1.0, 0.0]
+    v, c, a = pad_slots(vps, counts)
+    *_, z_inf, _h1, _h2, combo_inf = calculate_horizon_and_ortho_vp(v, c, a)
+    np.testing.assert_allclose(np.asarray(z_inf), vps[3], atol=1e-5)
+    *_, z_tol, _h1, _h2, combo_tol = calculate_horizon_and_ortho_vp(
+        v, c, a, pos_gate_ideal_tol=8.0)
+    np.testing.assert_allclose(np.asarray(z_tol), vps[0], atol=1e-5)
+
+
 def test_two_vp_fallback_with_dead_leading_slots():
     # alive VPs in slots 3 and 7 (leading slots dead): the fallback must use
     # the first ALIVE slots, not raw rows 0/1 (which are zero vectors)

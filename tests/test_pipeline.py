@@ -84,15 +84,14 @@ def test_det_key_tracks_detector_config(monkeypatch):
     """Device-detect cache identity must change with every field that
     changes detector outputs — gates, selection strategy, budget — and
     must NOT change with EM config (that is cache_key()'s job) nor with
-    impl requests that the dispatch would not honor: the Pallas impls
-    only run on a TPU backend (lines_device dispatch gates), so on this
-    CPU test backend sort_impl='pallas' resolves to the xla key — the
-    key records what RAN, not what was asked for. Env defaults are
-    cleared so a developer's exported VP_*_IMPL cannot skew this."""
+    impl requests that the dispatch would not honor: the Pallas CCL
+    only runs on a TPU backend (lines_device dispatch gates), so on
+    this CPU test backend ccl_impl='pallas' resolves to the xla key —
+    the key records what RAN, not what was asked for. Env defaults are
+    cleared so a developer's exported VP_CCL_IMPL cannot skew this."""
     import dataclasses
     from vanishing_points_2017_tpu.pipeline import PipelineConfig
 
-    monkeypatch.delenv("VP_SORT_IMPL", raising=False)
     monkeypatch.delenv("VP_CCL_IMPL", raising=False)
     base = PipelineConfig()
     seen = {base.det_key()}
@@ -105,9 +104,24 @@ def test_det_key_tracks_detector_config(monkeypatch):
     em2 = dataclasses.replace(base, maxbest=10)
     assert em2.det_key() == base.det_key()
     # CPU backend: a pallas request cannot run, so it must key as xla
-    unhonored = dataclasses.replace(base, sort_impl="pallas")
+    unhonored = dataclasses.replace(base, ccl_impl="pallas")
     assert unhonored.det_key() == base.det_key()
-    assert base.det_key().endswith("-xla-xla")
+    assert base.det_key().endswith("-xla")
+
+
+def test_cache_key_tracks_horizon_gate_tol():
+    """The horizon pos-gate relaxation changes cached hp1/hp2, so it is
+    part of cache_key() — and omitted at the reference-exact inf so
+    pre-existing cache keys stay valid."""
+    import dataclasses
+    from vanishing_points_2017_tpu.pipeline import PipelineConfig
+
+    base = PipelineConfig()
+    ref = dataclasses.replace(base, horizon_pos_gate_tol=float("inf"))
+    assert "_hz" not in ref.cache_key()
+    assert base.cache_key() == ref.cache_key() + "_hz8"
+    other = dataclasses.replace(base, horizon_pos_gate_tol=4.0)
+    assert other.cache_key() != base.cache_key()
 
 
 def test_stage_cache_roundtrip(tmp_path):

@@ -71,12 +71,6 @@ class EMConfig:
     num_min_lines: int = 3
     m_slots: int = 40
     wrap_quirk: bool = True
-    # "pallas": run the plain E+M iterations of each phase as one fused
-    # per-image kernel with in-kernel early exit (em_phase_pallas) —
-    # breaks the vmapped lockstep where every image pays the batch's max
-    # iteration count. Falls back to "xla" automatically for distance
-    # measures the kernel does not implement.
-    kernel: str = "xla"
     # Loop structure. "uniform" = one while_loop body containing the
     # gated split/merge (round-1 shape; ~30 s axon compile). "phase" =
     # [full body + scan of split_merge_freq-1 plain bodies] per trip —
@@ -564,38 +558,15 @@ def expectation_maximisation(l: jnp.ndarray, lp: jnp.ndarray,
     # vmap so they would otherwise be paid every iteration).
     plain_steps = max(int(cfg.split_merge_freq) - 1, 0)
 
-    use_kernel = (cfg.kernel == "pallas" and cfg.do_iterations
-                  and cfg.distance_measure == "angle" and plain_steps)
-    if use_kernel:
-        from .em_phase_pallas import em_phase_pallas
-        llt = (l[:, :, None] * l[:, None, :]).reshape(n, 9)
-        interp = jax.default_backend() != "tpu"
-
-        def kernel_phase(st: _State) -> _State:
-            out = em_phase_pallas(
-                l, lp, llt, lsim, lweight, pdfpar.means, pdfpar.weights,
-                pdfpar.sigma, log_max_stdd, st.v_cur, st.v_next, st.log_s,
-                st.alive, st.i, st.done, st.empty, lmask,
-                plain_steps=plain_steps, wbias=float(cfg.wbias),
-                final_conv=float(cfg.final_convergence),
-                num_iter=int(cfg.num_iter), wrap_quirk=bool(cfg.wrap_quirk),
-                interpret=interp)
-            v_c, v_n, log_s2, alive2, i2, done2, empty2 = out
-            return _State(i=i2, v_cur=v_c, v_next=v_n, log_s=log_s2,
-                          alive=alive2, done=done2, empty=empty2)
-
     def phase(st: _State):
         st = body(st, with_split_merge=True)
         if plain_steps:
-            if use_kernel:
-                st = kernel_phase(st)
-            else:
-                st = jax.lax.scan(
-                    lambda s, _: (body(s, with_split_merge=False), None),
-                    st, None, length=plain_steps)[0]
+            st = jax.lax.scan(
+                lambda s, _: (body(s, with_split_merge=False), None),
+                st, None, length=plain_steps)[0]
         return st
 
-    if cfg.loop == "uniform" and not use_kernel:
+    if cfg.loop == "uniform":
         # split/merge due-ness is decided inside body by i % freq, so the
         # uniform loop executes the identical op sequence one iteration
         # at a time (round-1 structure; see EMConfig.loop)

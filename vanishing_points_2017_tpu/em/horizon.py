@@ -64,12 +64,33 @@ def _cross(a, b):
 def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
                                    alive: jnp.ndarray, maxbest: int = 20,
                                    theta_vmin: float = float(np.pi / 10),
-                                   theta_z: float = float(np.pi / 4)):
+                                   theta_z: float = float(np.pi / 4),
+                                   pos_gate_ideal_tol: float = float("inf")):
     """Returns (hP1, hP2, zVP, hVP1, hVP2, best_triplet_vp_indices).
 
     vps: (M, 3) unit VPs (z >= 0), counts: (M,) unweighted inlier counts,
     alive: (M,) slot validity. hP1/hP2 are the horizon intersections with
     x = +-1, dehomogenized.
+
+    ``pos_gate_ideal_tol`` — robustness relaxation of the reference's
+    zenith/horizon position gate (``zenithPos*horPos==1``,
+    ``calc_horizon.py:174-183``), OFF at the default inf (exact
+    reference behavior). The gate compares sign(zenith_y) against which
+    side of the image centre the candidate horizon lies on — but when
+    the vertical VP is nearly at infinity (|y/z| large: near-parallel
+    vertical lines, e.g. a telephoto facade), segment noise at the f32
+    level flips which side the fitted intersection lands on, and the
+    gate then rejects every triplet containing the STRONGEST zenith,
+    letting junk triplets with tiny counts win (measured on the
+    reference's bundled ihme photo: horizon err 0.45 under one segment
+    ordering vs 0.04 under another). The horizon COMPUTED from a
+    wrong-side zenith is unaffected — only ``cross(z_vp, e3)`` (sign-
+    invariant) and the two horizontal VPs enter it — so triplets whose
+    zenith satisfies |y| > tol * |z| (farther than ``tol`` half-frames
+    from centre) waive the side check. Measured on the reference's
+    bundled photos at tol = 4/8/16: identical winners, ihme err
+    0.45 -> 0.040 (global selection) and 0.048 -> 0.037 (row), other
+    photos unchanged (round-4 diagnosis; BASELINE.md).
     """
     m_slots = vps.shape[0]
     counts = jnp.where(alive, counts, -1.0)
@@ -165,12 +186,16 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
 
     zenith_pos = jnp.where(z_vp[:, 1] > 0, 1.0, -1.0)
     hor_pos = jnp.where((hp1[:, 1] + hp2[:, 1]) / 2 < 0, 1.0, -1.0)
+    # near-ideal zenith: side information is below the noise floor
+    # (NB at tol=inf and z==0 this is |y| > inf*0=NaN = False — exactly
+    # the reference's always-apply-the-side-gate behavior)
+    near_ideal = jnp.abs(z_vp[:, 1]) > pos_gate_ideal_tol * jnp.abs(z_vp[:, 2])
 
     costh = jnp.cos(theta_vmin)
     gate = ((ab < costh) & (bc < costh) & (ac < costh)
             & (num_zenith == 1) & (num_central <= 1)
             & (hang < 30.0 * jnp.pi / 180.0)
-            & (zenith_pos * hor_pos == 1.0))
+            & ((zenith_pos * hor_pos == 1.0) | near_ideal))
 
     score = jnp.where(gate, 1.0, 0.0) * (ca + cb + cc) * ortho_score
     score = jnp.where(tri_valid, score, -2.0)

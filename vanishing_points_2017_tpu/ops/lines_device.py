@@ -337,7 +337,6 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      yn2: jnp.ndarray, max_segments: int,
                      shape: tuple[int, int],
                      runs_per_row: int | None = None,
-                     sort_impl: str | None = None,
                      selection: str = "row",
                      max_records: int = 32768):
     """Top-k components by gradient mass, with exact moments + extremal
@@ -360,6 +359,11 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     Exact unless a row holds more than ``runs_per_row`` nonzero-mass
     runs, in which case that row's weakest runs stop contributing (the
     components survive through their other rows' records).
+
+    ``yn2`` MUST be constant along each image row (it is the row's
+    normalized y coordinate): the y-moments are reconstructed per record
+    from the run-end pixel's yn2 — a non-row-constant yn2 would give
+    wrong moments with no error raised.
 
     Returns a dict of per-slot arrays (all shaped (max_segments,)):
     ``valid, mass, cnt, cx, cy, ddx, ddy, lam_min, tmin, tmax``.
@@ -453,43 +457,14 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # either axis) measured the same ~5.3 ms/img — per-HLO-op dispatch
     # overhead through the sorting network, not data volume — and the
     # downstream doubling-step reductions another ~1.5 ms/img of the
-    # same. The fused Pallas path (ops/sort_pallas.py bitonic network +
-    # ops/group_stats_pallas.py reductions, one packed layout
-    # throughout) replaces everything up to the final top-k — but chip
-    # measurement (scripts/profile_detector.py, round 3) put it at
-    # PARITY with the XLA sort inside the whole detector (7.95 vs 7.84
-    # ms/img at batch 16): its lax.map batching serializes the images
-    # one VMEM-resident kernel chain at a time, giving back what the
-    # fused layout saves. XLA is therefore the default everywhere
-    # (VP_SORT_IMPL=pallas opts the packed path back in); CPU always
-    # takes XLA (lax.sort is a real quicksort there, and Mosaic kernels
-    # do not run on CPU).
+    # same. A fused Pallas bitonic-sort + group-stats path (one packed
+    # VMEM layout up to the final top-k) was built and chip-measured in
+    # round 3 at PARITY with this XLA formulation inside the whole
+    # detector (7.95 vs 7.84 ms/img at batch 16 — its lax.map batching
+    # serialized the images one kernel chain at a time) and retired in
+    # round 4 under the win-or-delete standard; git history has it.
     n_rec = rec_root.shape[0]
     payload = jnp.stack([*rec_q, rec_x0, rec_x1, rec_y], axis=0)  # (10, R)
-    if sort_impl is None:
-        # env default, read at trace time — nested-jit cache hits will NOT
-        # re-read it; pass sort_impl (e.g. PipelineConfig.sort_impl) when
-        # the choice must be cache-correct
-        import os as _os
-        sort_impl = _os.environ.get("VP_SORT_IMPL", "xla")
-    use_pallas = jax.default_backend() == "tpu" and sort_impl == "pallas"
-    if use_pallas:
-        # NB the packed bitonic path sorts by root ONLY — equal-root tie
-        # order (and thus the f32 association of the group reductions)
-        # still depends on the pre-sort record order there, so the
-        # canonical selection/budget-invariance below holds on the
-        # default XLA path but NOT under VP_SORT_IMPL=pallas.
-        from .group_stats_pallas import group_stats
-        ch = group_stats(rec_root, payload)            # (11, R)
-        top, pos = jax.lax.top_k(ch[0], max_segments)  # score
-        sel = lambda a: a[pos]
-        return {
-            "valid": top > 0.0, "root": sel(ch[1]).astype(jnp.int32),
-            "mass": sel(ch[2]), "cnt": sel(ch[3]),
-            "cx": sel(ch[4]), "cy": sel(ch[5]),
-            "ddx": sel(ch[6]), "ddy": sel(ch[7]),
-            "lam_min": sel(ch[8]), "tmin": sel(ch[9]), "tmax": sel(ch[10]),
-        }
     # CANONICAL order: (root, run-end flat position) is a total order on
     # records, so the sorted sequence — and with it every downstream f32
     # association (group sums, first/last broadcasts) — is identical for
@@ -583,7 +558,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "blur_sigma", "pair_tol_factor",
                                              "runs_per_row",
                                              "check_fixpoint",
-                                             "ccl_impl", "sort_impl",
+                                             "ccl_impl",
                                              "selection", "max_records"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
@@ -595,7 +570,6 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            runs_per_row: int | None = None,
                            check_fixpoint: bool = False,
                            ccl_impl: str | None = None,
-                           sort_impl: str | None = None,
                            selection: str = "row",
                            max_records: int = 32768):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
@@ -607,10 +581,10 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     ``check_fixpoint=True`` poisons the output with NaN if ``ccl_passes``
     raster passes did not reach the CCL fixpoint (debug aid; the passes
     are provably exact only for digital straight lines).
-    ``ccl_impl``/``sort_impl`` pin the kernel backends ("xla"/"pallas");
-    None = env default (VP_CCL_IMPL/VP_SORT_IMPL) resolved at trace time
-    — use the explicit args (PipelineConfig.ccl_impl/sort_impl) when the
-    choice must survive nested-jit trace caching.
+    ``ccl_impl`` pins the CCL kernel backend ("xla"/"pallas"); None =
+    env default (VP_CCL_IMPL) resolved at trace time — use the explicit
+    arg (PipelineConfig.ccl_impl) when the choice must survive
+    nested-jit trace caching.
     ``selection``: "row" = per-row top-``runs_per_row`` run records;
     "global" = image-wide top-``max_records`` by run mass (2.3x faster
     on chip and free of per-row drops, but a different f32 record order
@@ -667,7 +641,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     # all via per-row run records (no per-pixel sort/scatter/membership)
     st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
                           (hi, wi), runs_per_row=runs_per_row,
-                          sort_impl=sort_impl, selection=selection,
+                          selection=selection,
                           max_records=max_records)
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]

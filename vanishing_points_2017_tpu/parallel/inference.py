@@ -46,10 +46,10 @@ def sharded_pipeline_full(mesh: Mesh, images: jnp.ndarray, params: Any,
     Returns the same dict as ``device_pipeline_full``; leaves keep their
     dp sharding (readback gathers over ICI).
 
-    The detector's Pallas kernels (ccl/sort/group-stats) carry no SPMD
-    partitioning rules, so the GSPMD partitioner could not split them
-    over dp; the config pins the identically-valued, fully partitionable
-    XLA implementations instead. The pin rides ``PipelineConfig`` (a jit
+    The detector's Pallas CCL kernel carries no SPMD partitioning
+    rules, so the GSPMD partitioner could not split it over dp; the
+    config pins the identically-valued, fully partitionable XLA
+    implementation instead. The pin rides ``PipelineConfig`` (a jit
     STATIC argument), not env vars — an env flip would be silently
     ignored whenever ``device_pipeline_full``'s nested-jit trace is
     already cached for these shapes.
@@ -57,7 +57,7 @@ def sharded_pipeline_full(mesh: Mesh, images: jnp.ndarray, params: Any,
     if images.shape[0] % mesh.shape["dp"]:
         raise ValueError(
             f"batch {images.shape[0]} not divisible by dp={mesh.shape['dp']}")
-    cfg = dataclasses.replace(cfg, ccl_impl="xla", sort_impl="xla")
+    cfg = dataclasses.replace(cfg, ccl_impl="xla")
     img_s = NamedSharding(mesh, P("dp", None, None))
     repl = NamedSharding(mesh, P())
     key = (mesh, cfg, images.shape, str(images.dtype))

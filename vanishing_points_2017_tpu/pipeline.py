@@ -47,19 +47,28 @@ class PipelineConfig:
     em: EMConfig = EMConfig()
     maxbest: int = 20            # best VPs for the horizon search
     theta_vmin: float = float(np.pi / 10)
+    # Zenith position-gate relaxation for near-ideal vertical VPs
+    # (calculate_horizon_and_ortho_vp's pos_gate_ideal_tol): when the
+    # zenith VP lies farther than this many half-frames from the image
+    # centre, which SIDE it lies on is f32 segment noise, and the
+    # reference's zenithPos*horPos gate would reject the strongest
+    # zenith's whole triplet family on exactly the photos where it
+    # matters (the ihme knife edge, BASELINE.md). 8.0 measured
+    # equivalent to 4/16 on all bundled reference photos; inf restores
+    # exact reference gating.
+    horizon_pos_gate_tol: float = 8.0
     renderer: str = "xla"        # "xla" | "pallas" (TPU-only kernel)
     cnn_dtype: str = "bfloat16"  # inference conv/fc compute dtype; the CNN
     # output is a soft 20x20 prior, bf16 on the MXU halves its HBM traffic
     # (training runs bf16 already; "float32" restores exact r1 numerics)
-    # Device-detector kernel implementations (device_pipeline_full only).
-    # None = backend default (Pallas on TPU, overridable via the
-    # VP_CCL_IMPL / VP_SORT_IMPL env vars read at trace time); explicit
-    # "xla"/"pallas" is part of the jit static key, so it composes with
-    # nested-jit trace caching where an env flip would silently not
+    # Device-detector CCL kernel implementation (device_pipeline_full
+    # only). None = backend default (Pallas on TPU, overridable via the
+    # VP_CCL_IMPL env var read at trace time); explicit "xla"/"pallas"
+    # is part of the jit static key, so it composes with nested-jit
+    # trace caching where an env flip would silently not
     # (parallel/inference.py relies on this to force the partitionable
-    # XLA impls under GSPMD).
+    # XLA impl under GSPMD).
     ccl_impl: str | None = None
-    sort_impl: str | None = None
     # Device-detector noise gates, arbitrated jointly over the
     # reference's bundled REAL photographs (vs its published result
     # figures) and 16 rendered synthetic scenes
@@ -90,9 +99,14 @@ class PipelineConfig:
         """Config-dependent cache identity, like the reference's encoded
         folder names (``evaluation.py:60-67``)."""
         e = self.em
+        # the horizon gate relaxation changes cached hp1/hp2 results, so
+        # it is part of the identity (omitted at the reference-exact inf
+        # so pre-existing cache keys stay valid)
+        hz = ("" if self.horizon_pos_gate_tol == float("inf")
+              else f"_hz{self.horizon_pos_gate_tol:g}")
         return (f"{e.distance_measure}_{'' if e.use_weights else 'no'}weights"
                 f"_{'' if e.do_split else 'no'}split"
-                f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}")
+                f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}{hz}")
 
     def det_key(self) -> str:
         """Device-detector config identity — append to :meth:`cache_key`
@@ -101,26 +115,21 @@ class PipelineConfig:
         selection-strategy changes invalidate exactly those caches and
         never the host-LSD ones (whose results don't depend on det_*).
 
-        Includes the RESOLVED kernel impls: the Pallas grouping sort
-        orders equal-root records differently from the canonical XLA
-        path (different f32 association), so a VP_SORT_IMPL flip must
-        not serve the other mode's cached numerics. (Pallas CCL is
-        bit-exact vs the XLA raster scan — included anyway so a future
-        impl with different labels cannot contaminate.) Resolution
-        mirrors the dispatch sites in ops/lines_device.py exactly: the
-        Pallas impls only ever run when the default backend is TPU, so
-        a CPU run keys as xla whatever the env says."""
+        Includes the RESOLVED CCL impl (Pallas CCL is bit-exact vs the
+        XLA raster scan — included anyway so a future impl with
+        different labels cannot contaminate). Resolution mirrors the
+        dispatch site in ops/lines_device.py exactly: the Pallas impl
+        only ever runs when the default backend is TPU, so a CPU run
+        keys as xla whatever the env says."""
         import os
 
         import jax
         on_tpu = jax.default_backend() == "tpu"
-        sort = self.sort_impl or os.environ.get("VP_SORT_IMPL", "xla")
-        sort = "pallas" if (on_tpu and sort == "pallas") else "xla"
         ccl = self.ccl_impl or os.environ.get("VP_CCL_IMPL", "pallas")
         ccl = "xla" if (not on_tpu or ccl == "xla") else "pallas"
         return (f"det{self.det_selection}{self.det_min_count}"
                 f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
-                f"-{self.det_max_records}-{sort}-{ccl}")
+                f"-{self.det_max_records}-{ccl}")
 
 
 def pad_lines(segments: np.ndarray, n_pad: int):
@@ -175,7 +184,8 @@ def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
                                   lmask, cfg.em)
     hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(
         em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
-        theta_vmin=cfg.theta_vmin)
+        theta_vmin=cfg.theta_vmin,
+        pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
     return {
         "sphere_image": img_u8,
         "cnn_prediction": pred,
@@ -213,7 +223,6 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
                                            min_len_px=cfg.det_min_len_px,
                                            min_density=cfg.det_min_density,
                                            ccl_impl=cfg.ccl_impl,
-                                           sort_impl=cfg.sort_impl,
                                            selection=cfg.det_selection,
                                            max_records=cfg.det_max_records)
         l = lineops.segments_to_homogeneous(lp)
