@@ -105,9 +105,9 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
 
     cfg = PipelineConfig()
     if os.environ.get("BENCH_DET_SELECTION"):
-        # "global" = the image-wide record-selection throughput mode
-        # (PipelineConfig.det_selection); the default benches the
-        # production default ("row").
+        # override PipelineConfig.det_selection ("row" benches the
+        # per-row-budget fallback; the default benches the production
+        # default, "global" since round 4).
         import dataclasses
         cfg = dataclasses.replace(
             cfg, det_selection=os.environ["BENCH_DET_SELECTION"])

@@ -121,15 +121,22 @@ def main() -> int:
 
     # whole detector per CCL impl and selection mode — EXPLICIT args
     # (static jit keys), not env flips: detect_segments_device is itself
-    # a jit, so an env read at trace time is never repeated on a cache hit
+    # a jit, so an env read at trace time is never repeated on a cache hit.
+    # PROF_BUDGETS sweeps the global-selection record budget (the
+    # detector cost axis; each budget is its own static shape/compile).
+    budgets = tuple(int(b) for b in os.environ.get(
+        "PROF_BUDGETS", "16384").split(","))
     ccls = ["pallas", "xla"] if jax.default_backend() != "cpu" else ["xla"]
     for ccl_impl in ccls:
-        for selection in ("row", "global"):
+        variants = [("row", 32768)] + [("global", b) for b in budgets]
+        for selection, budget in variants:
             det = jax.jit(jax.vmap(
-                lambda im, c=ccl_impl, s=selection: ld.detect_segments_device(
+                lambda im, c=ccl_impl, s=selection, b=budget:
+                ld.detect_segments_device(
                     im, max_segments=n_pad, ccl_impl=c, selection=s,
-                    max_records=16384 if s == "global" else 32768)))
-            bench(f"whole detector ccl={ccl_impl} selection={selection}",
+                    max_records=b)))
+            tag = f" budget={budget}" if selection == "global" else ""
+            bench(f"whole detector ccl={ccl_impl} selection={selection}{tag}",
                   det, images)
     return 0
 

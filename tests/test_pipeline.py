@@ -96,7 +96,7 @@ def test_det_key_tracks_detector_config(monkeypatch):
     base = PipelineConfig()
     seen = {base.det_key()}
     for field, val in (("det_min_count", 20), ("det_min_len_px", 15.0),
-                       ("det_min_density", 0.0), ("det_selection", "global"),
+                       ("det_min_density", 0.0), ("det_selection", "row"),
                        ("det_max_records", 16384)):
         key = dataclasses.replace(base, **{field: val}).det_key()
         assert key not in seen, (field, key)

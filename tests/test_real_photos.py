@@ -84,12 +84,14 @@ def test_device_detector_path_on_real_photos():
     cannot cover both the outdoor facades and the glass-roof atrium,
     but LSD's region-to-rectangle density test (det_min_density=0.7)
     rejects the meandering micro-texture chains on all three. Measured
-    err at the defaults: 0.043 / 0.039 / 0.003 (vs the reference's
-    published figures; the host-LSD path gets 0.002-0.017). The 0.10
-    bound leaves margin for the EM's sensitivity to small segment-
-    population shifts — texture-heavy photos sit near a triplet-choice
-    boundary, so a blown bound here is a real robustness regression,
-    not noise."""
+    err at the round-4 defaults (global selection, 32k record budget,
+    zenith side-gate waiver): 0.041 / 0.008 / 0.008 (vs the reference's
+    published figures; the host-LSD path gets 0.002-0.017). The record
+    budget is load-bearing: at 16384 the atrium degrades to 0.188
+    (texture-dense photos carry 30-50k runs). The 0.10 bound leaves
+    margin for the EM's sensitivity to small segment-population shifts
+    — texture-heavy photos sit near a triplet-choice boundary, so a
+    blown bound here is a real robustness regression, not noise."""
     pipe = _pipeline()
     for name, rl, rr in REFERENCE_HORIZONS:
         host = pipe.ingest_image(os.path.join(REF_EXAMPLES, name),

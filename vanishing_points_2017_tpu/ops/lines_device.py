@@ -585,10 +585,13 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     env default (VP_CCL_IMPL) resolved at trace time — use the explicit
     arg (PipelineConfig.ccl_impl) when the choice must survive
     nested-jit trace caching.
-    ``selection``: "row" = per-row top-``runs_per_row`` run records;
-    "global" = image-wide top-``max_records`` by run mass (2.3x faster
-    on chip and free of per-row drops, but a different f32 record order
-    — see PipelineConfig.det_selection for the tradeoff).
+    ``selection``: "row" (this function's low-level default) = per-row
+    top-``runs_per_row`` run records; "global" = image-wide
+    top-``max_records`` by run mass — 2.3x faster on chip, free of
+    per-row drops, and the PRODUCTION default since round 4
+    (PipelineConfig.det_selection; the f32 record-order knife edge that
+    kept it opt-in was resolved by the zenith side-gate waiver, see
+    BASELINE.md round-4 section).
     """
     h, w = image.shape
     img = image.astype(jnp.float32)

@@ -83,16 +83,29 @@ class PipelineConfig:
     det_min_count: int = 15
     det_min_len_px: float = 12.0
     det_min_density: float = 0.7
-    # Run-record selection strategy. "row" = per-row top-k budget
-    # (runs_per_row), the real-photo-arbitrated default. "global" = one
-    # image-wide top-max_records by run mass — chip-measured 2.3x faster
-    # (whole detector ~2.2 vs ~7.9 ms/img device at batch 16) with
-    # synthetic AUC within 0.001 of the host-LSD path, but on the
-    # reference's texture-heavy ihme facade its slightly different f32
-    # record order flips the EM's knife-edge zenith split (horizon err
-    # 0.24 vs 0.04; BASELINE.md real-photo section). Throughput-first
-    # deployments should flip this to "global".
-    det_selection: str = "row"
+    # Run-record selection strategy. "global" (default) = one image-wide
+    # top-max_records by run mass — chip-measured faster than the row
+    # budget (whole detector ~2.2 ms/img device at batch 16 with a 16k
+    # budget vs ~3.5 row; see BASELINE.md for the budget sweep) with
+    # synthetic AUC within 0.005 of the host-LSD path. Through round 3 it was
+    # opt-in because its slightly different f32 record order flipped the
+    # EM's knife-edge zenith split on the reference's texture-heavy ihme
+    # facade (horizon err 0.45 vs 0.05); that knife edge traced to the
+    # reference's own zenith side gate rejecting near-ideal vertical VPs
+    # (horizon_pos_gate_tol above) — with the waiver in place global is
+    # equal-or-better on every bundled reference photo
+    # (0.040/0.009/0.005 vs row's 0.037/0.039/0.003; BASELINE.md round-4
+    # section). "row" = per-row top-runs_per_row budget, kept as the
+    # fallback whose record set is independent of image-global
+    # statistics (a row's records never change because a DIFFERENT image
+    # region got denser).
+    # The 32768 budget is load-bearing on real photos: texture-dense
+    # scenes carry 30-50k nonzero runs (p99 142 runs/row at 640 px), and
+    # a 16384 budget drops enough weak-but-structural runs to move the
+    # horizon (0.188 vs 0.040 on a bundled reference photo — CPU
+    # measurement, round 4). Synthetic scenes fit in 16384; only
+    # synthetic-only throughput deployments should lower it.
+    det_selection: str = "global"
     det_max_records: int = 32768
 
     def cache_key(self) -> str:
