@@ -64,7 +64,8 @@ def main() -> int:
     def ccl(active, ux, uy, passes):
         return ld._connected_components(active, ux, uy, cos_tol, passes)
 
-    def stats(img, root, mag, active, runs_per_row):
+    def stats(img, root, mag, active, runs_per_row, selection="row",
+              max_records=32768, stop_after=None):
         h, w = img.shape
         hi, wi = h - 1, w - 1
         s = max(h, w) / 2.0
@@ -75,7 +76,10 @@ def main() -> int:
         yn2 = -((ys_i + 0.5) - h / 2.0) / s
         wgt = jnp.where(active, mag / 255.0, 0.0)
         return ld._component_stats(root, wgt.reshape(-1), xn2, yn2, n_pad,
-                                   (hi, wi), runs_per_row=runs_per_row)
+                                   (hi, wi), runs_per_row=runs_per_row,
+                                   selection=selection,
+                                   max_records=max_records,
+                                   _stop_after=stop_after)
 
     def bench(name, fn, *args):
         t0 = time.time()
@@ -118,6 +122,24 @@ def main() -> int:
               jax.jit(jax.vmap(lambda im, r, m, a, k=rpr: stats(
                   im, r, m, a, k))),
               images, root, mag, active)
+
+    # PROF_BISECT=1: time cumulative prefixes of the PRODUCTION
+    # _component_stats (via its _stop_after debug knob) at the production
+    # config (global selection, full 32k budget). Each prefix is its own
+    # program; the delta between consecutive rows is that stage's
+    # standalone cost. NB deltas can exceed what the stage costs inside
+    # the fused whole-detector program (XLA overlaps independent stages —
+    # the round-3c scan find), so optimize on deltas but judge on the
+    # whole-detector rows below.
+    if os.environ.get("PROF_BISECT", "0") == "1":
+        prefixes = ("scans", "select", "sort", "gsum", "broadcast",
+                    "minmax", None)
+        for stop in prefixes:
+            bench(f"stats[global 32768] ..{stop or 'full'}",
+                  jax.jit(jax.vmap(lambda im, r, m, a, st=stop: stats(
+                      im, r, m, a, 64, selection="global",
+                      max_records=32768, stop_after=st))),
+                  images, root, mag, active)
 
     # whole detector per CCL impl and selection mode — EXPLICIT args
     # (static jit keys), not env flips: detect_segments_device is itself

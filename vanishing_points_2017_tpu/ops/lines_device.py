@@ -338,7 +338,9 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      shape: tuple[int, int],
                      runs_per_row: int | None = None,
                      selection: str = "row",
-                     max_records: int = 32768):
+                     max_records: int = 32768,
+                     global_prefilter: int | None = None,
+                     _stop_after: str | None = None):
     """Top-k components by gradient mass, with exact moments + extremal
     projections — all from per-row RUN RECORDS, never a per-pixel
     sort/scatter/membership pass.
@@ -364,6 +366,12 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     normalized y coordinate): the y-moments are reconstructed per record
     from the run-end pixel's yn2 — a non-row-constant yn2 would give
     wrong moments with no error raised.
+
+    ``_stop_after`` (profiling only — scripts/profile_detector.py's
+    stage bisect): return the named intermediate instead of the full
+    result, so each prefix of THIS production code path can be timed as
+    its own program (XLA dead-code-eliminates everything downstream).
+    One of "scans", "select", "sort", "gsum", "broadcast", "minmax".
 
     Returns a dict of per-slot arrays (all shaped (max_segments,)):
     ``valid, mass, cnt, cx, cy, ddx, ddy, lam_min, tmin, tmax``.
@@ -404,6 +412,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                    (w2 > 0).astype(f32)], axis=0)  # (4,H,W)
     qs = _segmented_sum_scan(q, conn[None], log_w)
     x_first = _segmented_copy_first(xn2, conn, log_w)
+    if _stop_after == "scans":
+        return qs, x_first
 
     # ---- run-record selection: global top-R (by run mass over the whole
     # image) or per-row top-k. Global is exact whenever the image holds
@@ -411,18 +421,49 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # weakest runs — a principled noise floor — where the per-row budget
     # drops the locally weakest run of each over-budget row even when it
     # is strong in absolute terms (texture-dense real photos hit p99 142
-    # runs/row; see runs_per_row note above). Chip-measured: the flat
-    # top_k and the one-row-gather of all channels both sit at dispatch
-    # noise (~0 ms/img at batch 16), so global selection costs nothing.
+    # runs/row; see runs_per_row note above).
     if selection not in ("row", "global"):
         raise ValueError(f"unknown selection {selection!r}; "
                          "expected 'row' or 'global'")
     if selection == "global":
-        r_sel = min(max_records, h * w)
-        mass_flat = jnp.where(is_end, qs[0], -1.0).reshape(-1)
-        top_mass, top_pos = jax.lax.top_k(mass_flat, r_sel)  # (R,)
+        # Two-stage selection: a per-row top-k_pre prefilter, then the
+        # flat top-max_records over the H*k_pre candidates. The naive
+        # one-stage top_k over all H*W run-end masses lowers to a full
+        # ~512k-element sort on TPU — chip-bisected at ~28 ms/batch-of-16
+        # (~1.75 ms/img), the single dominant detector cost at the
+        # production defaults. The prefilter shrinks the big sort's
+        # operand ~4x. It can only change the result if one row holds
+        # more than k_pre nonzero-mass runs AND one of the dropped
+        # (that row's weakest) runs would have made the global top-k:
+        # k_pre = 3w/10 (191 at 640 px, 240 at the ECD/HLW 800 px
+        # resize) is ≥ 26% above the densest row ever measured (152,
+        # reference real photos; synthetic scenes max 56), so on every
+        # available input the candidate SET — and, by the canonical
+        # (root, pos) record sort, every downstream f32 bit — is
+        # identical to the one-stage selection
+        # (tests/test_lines_device.py::test_global_prefilter_equivalence).
+        # ``global_prefilter``: None = the 3w/10 rule, 0 = disable
+        # (one-stage; the equivalence oracle), >0 = explicit cap.
+        if global_prefilter is None:
+            k_pre = min(w, max(64, (3 * w) // 10))
+        elif global_prefilter == 0:
+            k_pre = 0
+        else:
+            k_pre = min(w, int(global_prefilter))
+        mass_row = jnp.where(is_end, qs[0], -1.0)            # (H, W)
+        if k_pre > 0:
+            pre_mass, pre_col = jax.lax.top_k(mass_row, k_pre)
+            row_i = jnp.arange(h, dtype=jnp.int32)[:, None]
+            pre_pos = row_i * w + pre_col.astype(jnp.int32)  # (H, k_pre)
+            cand_mass = pre_mass.reshape(-1)
+            cand_pos = pre_pos.reshape(-1)
+        else:
+            cand_mass = mass_row.reshape(-1)
+            cand_pos = jnp.arange(h * w, dtype=jnp.int32)
+        r_sel = min(max_records, cand_pos.shape[0])
+        top_mass, top_i = jax.lax.top_k(cand_mass, r_sel)    # (R,)
         rec_ok = top_mass > 0.0
-        flat_pos = top_pos.astype(jnp.int32)                 # (R,)
+        flat_pos = cand_pos[top_i]                           # (R,)
     else:
         k_row = min(runs_per_row, w)
         mass_row = jnp.where(is_end, qs[0], -1.0)
@@ -450,6 +491,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     rec_q = [rec_w, rec_wx, rec_y * rec_w, rec_wxx, rec_y * rec_wx,
              rec_y * rec_y * rec_w, rec_cnt]
     rec_pos = flat_pos
+    if _stop_after == "select":
+        return rec_root, rec_pos, rec_q, rec_x0, rec_x1, rec_y
 
     # ---- one sort by root groups each component's records contiguously,
     # then per-group reductions. On TPU every XLA-level strategy for the
@@ -483,6 +526,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     idx = jnp.arange(n_rec, dtype=jnp.int32)
     rs, _, perm = jax.lax.sort([rec_root, rec_pos, idx], num_keys=2)
     payload = payload.T[perm].T                               # (10, R)
+    if _stop_after == "sort":
+        return rs, payload
     sq = payload[:7]                                          # (7, R)
     sx0, sx1, sy = payload[7], payload[8], payload[9]
     log_r = max(1, math.ceil(math.log2(n_rec)))
@@ -491,6 +536,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     g_end = jnp.concatenate([rs[1:] != rs[:-1], jnp.ones((1,), bool)])
 
     gsum = _segmented_sum_scan(sq, gconn[None], log_r)        # (7, R)
+    if _stop_after == "gsum":
+        return gsum
     s_w, s_wx, s_wy, s_wxx, s_wxy, s_wyy, s_cnt = [
         gsum[i] for i in range(7)]
 
@@ -528,6 +575,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     flip_conn = same_next[::-1]
     dd_b = _segmented_copy_first(
         jnp.stack([ddx[::-1], ddy[::-1]]), flip_conn[None], log_r)[:, ::-1]
+    if _stop_after == "broadcast":
+        return dd_b
     ddx_b, ddy_b = dd_b[0], dd_b[1]
 
     # ---- extremal projections: per-run extrema sit at run endpoints
@@ -538,6 +587,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         jnp.stack([jnp.minimum(t0, t1) + inf,
                    -jnp.maximum(t0, t1) + inf]), gconn[None], log_r)
     gmin, gmax = gmm[0], -gmm[1]
+    if _stop_after == "minmax":
+        return gmin, gmax
 
     # ---- top-k components by total mass (group ends only)
     score = jnp.where(g_end & (rs >= 0), gsum[0], -1.0)
@@ -559,7 +610,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "runs_per_row",
                                              "check_fixpoint",
                                              "ccl_impl",
-                                             "selection", "max_records"))
+                                             "selection", "max_records",
+                                             "global_prefilter"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 12.0,
@@ -571,7 +623,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            check_fixpoint: bool = False,
                            ccl_impl: str | None = None,
                            selection: str = "row",
-                           max_records: int = 32768):
+                           max_records: int = 32768,
+                           global_prefilter: int | None = None):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
@@ -592,6 +645,9 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     (PipelineConfig.det_selection; the f32 record-order knife edge that
     kept it opt-in was resolved by the zenith side-gate waiver, see
     BASELINE.md round-4 section).
+    ``global_prefilter``: per-row candidate cap of the global selection's
+    two-stage top-k (None = the 3w/10 rule, 0 = the one-stage oracle;
+    see _component_stats).
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
@@ -645,7 +701,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     st = _component_stats(root, wgt.reshape(-1), xn2, yn2, max_segments,
                           (hi, wi), runs_per_row=runs_per_row,
                           selection=selection,
-                          max_records=max_records)
+                          max_records=max_records,
+                          global_prefilter=global_prefilter)
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
     ddx, ddy = st["ddx"], st["ddy"]
