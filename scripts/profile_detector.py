@@ -79,6 +79,7 @@ def main() -> int:
                                    (hi, wi), runs_per_row=runs_per_row,
                                    selection=selection,
                                    max_records=max_records,
+                                   coord_affine=(float(w), float(h), s),
                                    _stop_after=stop_after)
 
     def bench(name, fn, *args):

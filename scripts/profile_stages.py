@@ -62,6 +62,16 @@ def main() -> int:
     lp = jnp.asarray(np.stack(lps))
     lm = jnp.asarray(np.stack(masks))
 
+    # PROF_STAGES=fused (comma list of name prefixes) restricts to the
+    # named programs — unselected stage programs are neither compiled nor
+    # run (each costs a full axon compile), except as data dependencies
+    # of a selected one.
+    only = {s.strip() for s in os.environ.get("PROF_STAGES", "").split(",")
+            if s.strip()}
+
+    def want(name):
+        return not only or any(name.startswith(s) for s in only)
+
     def bench(name, fn, *args):
         t0 = time.time()
         out = fn(*args)
@@ -99,15 +109,25 @@ def main() -> int:
     full = jax.jit(
         lambda im: device_pipeline_full(im, params, mean, cfg))
 
-    seg, segmask = bench("detector", detect, images)
-    lseg = jax.vmap(lambda s, m: jnp.where(
-        m[:, None], lineops.segments_to_homogeneous(s), 0.0))(seg, segmask)
-    img_u8 = bench("sphere render", render, l, lm)
-    pred = bench("cnn forward", cnn_fwd, img_u8)
-    em = bench("em", em_fn, l, lp, pred,
-               img_u8.astype(jnp.float32), lm)
-    bench("horizon", hor, em.vp, em.counts, em.alive)
-    bench("fused full (detector path)", full, images)
+    if want("detector"):
+        seg, segmask = bench("detector", detect, images)
+        lseg = jax.vmap(lambda s, m: jnp.where(
+            m[:, None], lineops.segments_to_homogeneous(s), 0.0))(seg, segmask)
+    need_em = want("em") or want("horizon")
+    need_pred = want("cnn forward") or need_em
+    if want("sphere render") or need_pred:
+        img_u8 = bench("sphere render", render, l, lm) if want(
+            "sphere render") else render(l, lm)
+    if need_pred:
+        pred = bench("cnn forward", cnn_fwd, img_u8) if want(
+            "cnn forward") else cnn_fwd(img_u8)
+    if need_em:
+        em = bench("em", em_fn, l, lp, pred,
+                   img_u8.astype(jnp.float32), lm)
+    if want("horizon"):
+        bench("horizon", hor, em.vp, em.counts, em.alive)
+    if want("fused"):
+        bench("fused full (detector path)", full, images)
     return 0
 
 

@@ -311,6 +311,51 @@ def test_global_prefilter_equivalence():
     assert int(np.sum(np.asarray(m2))) < int(np.sum(np.asarray(m1)))
 
 
+def test_coord_affine_equivalence():
+    """The record fetch's coord_affine fast path (5-channel stack +
+    bitcast root + per-record affine recompute of the coordinate
+    channels — the production path) must be BIT-IDENTICAL to the pure
+    7-channel gather formulation (coord_affine=None, the oracle) on
+    every output slot, for both selection modes: the recompute replays
+    the grid construction's exact f32 op sequence on the same values."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops import lines_device as ld
+
+    for seed, selection in ((0, "row"), (1, "global"), (2, "global")):
+        rng = np.random.default_rng(seed)
+        scene = synth.make_scene(rng, lines_per_vp=30, outliers=10)
+        img = jnp.asarray(render_scene_image(scene, size=320, rng=rng)
+                          .astype(np.float32))
+        h, w = img.shape
+        blurred = ld._gaussian_blur(img, 1.0)
+        com1 = blurred[1:, 1:] - blurred[:-1, :-1]
+        com2 = blurred[:-1, 1:] - blurred[1:, :-1]
+        gx, gy = 0.5 * (com1 + com2), 0.5 * (com1 - com2)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        tol = np.radians(ld.TOL_DEG)
+        active = mag > ld.QUANT / np.sin(tol)
+        inv = jnp.where(mag > 0, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
+        root = ld._connected_components(active, gx * inv, -gy * inv,
+                                        float(np.cos(tol)), 8)
+        hi, wi = h - 1, w - 1
+        s = max(h, w) / 2.0
+        ys_i, xs_i = jnp.meshgrid(jnp.arange(hi, dtype=jnp.float32),
+                                  jnp.arange(wi, dtype=jnp.float32),
+                                  indexing="ij")
+        xn2 = ((xs_i + 0.5) - w / 2.0) / s
+        yn2 = -((ys_i + 0.5) - h / 2.0) / s
+        wgt = jnp.where(active, mag / 255.0, 0.0).reshape(-1)
+        kw = dict(runs_per_row=64, selection=selection, max_records=8192)
+        st_fast = ld._component_stats(root, wgt, xn2, yn2, 256, (hi, wi),
+                                      coord_affine=(float(w), float(h), s),
+                                      **kw)
+        st_ref = ld._component_stats(root, wgt, xn2, yn2, 256, (hi, wi),
+                                     coord_affine=None, **kw)
+        for k in st_ref:
+            np.testing.assert_array_equal(np.asarray(st_ref[k]),
+                                          np.asarray(st_fast[k]), err_msg=k)
+
+
 def test_detector_runs_per_row_tunable():
     """A generous runs_per_row must reproduce the default result (the
     default budget is already exact on these scenes), proving the plumb-

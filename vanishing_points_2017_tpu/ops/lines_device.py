@@ -340,6 +340,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      selection: str = "row",
                      max_records: int = 32768,
                      global_prefilter: int | None = None,
+                     coord_affine: tuple[float, float, float] | None = None,
                      _stop_after: str | None = None):
     """Top-k components by gradient mass, with exact moments + extremal
     projections — all from per-row RUN RECORDS, never a per-pixel
@@ -366,6 +367,17 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     normalized y coordinate): the y-moments are reconstructed per record
     from the run-end pixel's yn2 — a non-row-constant yn2 would give
     wrong moments with no error raised.
+
+    ``coord_affine`` = (w_full, h_full, s): when the xn2/yn2 grids are the
+    detector's standard normalized frame (xn2 = ((col+0.5) - w/2)/s,
+    yn2 = -((row+0.5) - h/2)/s on the inner gradient grid), passing the
+    constants lets the record fetch RECOMPUTE each record's coordinates
+    from its flat position with the same f32 op sequence — bit-identical
+    to gathering the grids — so the stacked gather matrix drops from 7
+    channels to 5, and the root channel rides the same matrix as a
+    bitcast (6 total) instead of a second gather. None keeps the pure
+    gather formulation (the equivalence oracle,
+    tests/test_pipeline.py::test_coord_affine_equivalence).
 
     ``_stop_after`` (profiling only — scripts/profile_detector.py's
     stage bisect): return the named intermediate instead of the full
@@ -441,7 +453,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         # available input the candidate SET — and, by the canonical
         # (root, pos) record sort, every downstream f32 bit — is
         # identical to the one-stage selection
-        # (tests/test_lines_device.py::test_global_prefilter_equivalence).
+        # (tests/test_pipeline.py::test_global_prefilter_equivalence).
         # ``global_prefilter``: None = the 3w/10 rule, 0 = disable
         # (one-stage; the equivalence oracle), >0 = explicit cap.
         if global_prefilter is None:
@@ -472,20 +484,36 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         row_i = jnp.arange(h, dtype=jnp.int32)[:, None]
         flat_pos = (row_i * w + top_pos.astype(jnp.int32)).reshape(-1)
     # fetch every record channel with ONE row-gather of the stacked
-    # (H*W, 7) matrix at the selected flat positions. Chip-measured:
+    # (H*W, C) matrix at the selected flat positions. Chip-measured:
     # per-channel minor-axis take_along_axis gathers run at ~200
     # ns/element on TPU — 13 of them at (H, 64) were ~6 ms/img, the
     # dominant hidden cost of the row path — while the row-gather's
     # per-record DMA is ~free. Identical values in identical (row-major)
     # order, so outputs are bit-identical to the take formulation.
-    g = jnp.stack([*(qs[i].reshape(-1) for i in range(4)),
-                   x_first.reshape(-1), xn2.reshape(-1),
-                   yn2.reshape(-1)],
-                  axis=1)[flat_pos]                           # (R, 7)
-    rec_root = jnp.where(rec_ok, r2.reshape(-1)[flat_pos], -1)
+    chans = [*(qs[i].reshape(-1) for i in range(4)), x_first.reshape(-1)]
+    if coord_affine is None:
+        chans += [xn2.reshape(-1), yn2.reshape(-1)]
+        g = jnp.stack(chans, axis=1)[flat_pos]                # (R, 7)
+        rec_root = jnp.where(rec_ok, r2.reshape(-1)[flat_pos], -1)
+        rec_x1, rec_y = g[:, 5], g[:, 6]
+    else:
+        # ride the root along the same gather as a bitcast f32 channel
+        # (int32 bit patterns survive exactly), and RECOMPUTE the
+        # coordinate channels from the gathered position with the
+        # detector's own affine op sequence — bit-identical to gathering
+        # the xn2/yn2 grids, two fewer (H*W,) channels of gather traffic.
+        chans.append(jax.lax.bitcast_convert_type(r2.reshape(-1), f32))
+        g = jnp.stack(chans, axis=1)[flat_pos]                # (R, 6)
+        root_g = jax.lax.bitcast_convert_type(g[:, 5], jnp.int32)
+        rec_root = jnp.where(rec_ok, root_g, -1)
+        w_full, h_full, s_half = coord_affine
+        row_idx = flat_pos // w
+        col_idx = flat_pos - row_idx * w
+        rec_x1 = ((col_idx.astype(f32) + 0.5) - w_full / 2.0) / s_half
+        rec_y = -((row_idx.astype(f32) + 0.5) - h_full / 2.0) / s_half
     rec_w, rec_wx, rec_wxx, rec_cnt = [
         jnp.where(rec_ok, g[:, i], 0.0) for i in range(4)]
-    rec_x0, rec_x1, rec_y = g[:, 4], g[:, 5], g[:, 6]
+    rec_x0 = g[:, 4]
     # derive the y-moments per record (yn2 constant within a row-run;
     # rec_w/rec_wx are zeroed for invalid records, so the products are too)
     rec_q = [rec_w, rec_wx, rec_y * rec_w, rec_wxx, rec_y * rec_wx,
@@ -702,7 +730,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                           (hi, wi), runs_per_row=runs_per_row,
                           selection=selection,
                           max_records=max_records,
-                          global_prefilter=global_prefilter)
+                          global_prefilter=global_prefilter,
+                          coord_affine=(float(w), float(h), s))
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]
     ddx, ddy = st["ddx"], st["ddy"]
