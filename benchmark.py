@@ -103,12 +103,15 @@ def main() -> int:
     # device-detect results also key on the detector config (gates +
     # selection strategy), so detector changes invalidate exactly those
     # caches; host-LSD results don't depend on det_* and keep their key
-    # the weights fingerprint is part of the cache identity too: results
-    # downstream of the CNN depend on the exact weights artifact, and a
-    # retrain must never serve a previous artifact's cached results
-    cache_key = cfg.cache_key() + "_w" + wfp + (
+    cache_key = cfg.cache_key() + (
         "_devdet_" + cfg.det_key() if args.device_detect else "")
     cache = StageCache(os.path.join(args.result_dir, name), cache_key)
+    # the weights fingerprint scopes the RESULT stage only: results
+    # downstream of the CNN depend on the exact weights artifact, and a
+    # retrain must never serve a previous artifact's cached results —
+    # but the ingest/LSD stage outputs are weights-independent and must
+    # survive a retrain (host LSD over a dataset is the expensive stage)
+    result_stage = "result_w" + wfp
     print(f"dataset: {name}  images: {len(records)}  skip: {start}  "
           f"weights: {wfp}")
 
@@ -134,7 +137,7 @@ def main() -> int:
     # (device_detect: detection + CNN + EM + horizon in ONE program)
     if args.run_cnn or args.run_em:
         todo = [r for r in records
-                if args.update_datafiles or not cache.has(r.name, "result")]
+                if args.update_datafiles or not cache.has(r.name, result_stage)]
         if args.device_detect:
             by_shape: dict[tuple, list] = {}
             for r in todo:
@@ -174,7 +177,7 @@ def main() -> int:
         for gi, recs, out in pending:
             out = {k: np.asarray(v) for k, v in out.items()}
             for j, rec in enumerate(recs):
-                cache.save(rec.name, "result",
+                cache.save(rec.name, result_stage,
                            **{k: v[j] for k, v in out.items()})
             n_done += len(recs)
             print(f"device batch {gi}: {len(recs)} imgs")
@@ -190,10 +193,10 @@ def main() -> int:
     for count, rec in enumerate(records, 1):
         if count <= start:
             continue
-        if rec.true_horizon is None or not cache.has(rec.name, "result"):
+        if rec.true_horizon is None or not cache.has(rec.name, result_stage):
             skipped += 1
             continue
-        res = cache.load(rec.name, "result")
+        res = cache.load(rec.name, result_stage)
         shape = cache.load(rec.name,
                            "gray" if args.device_detect
                            else "lines")["image_shape"]

@@ -158,8 +158,18 @@ def main() -> int:
 
         @functools.partial(jax.jit, static_argnames=())
         def ideal_one(img, label):
-            lp, lmask = detect_segments_device(img,
-                                               max_segments=cfg.n_pad)
+            # same detector + horizon-gate config as path B, so the
+            # host-vs-full-vs-ideal decomposition isolates the PRIOR
+            # difference only (cfg overrides like --det_selection and
+            # --horizon_tol must reach all paths)
+            lp, lmask = detect_segments_device(
+                img, max_segments=cfg.n_pad,
+                min_count=cfg.det_min_count,
+                min_len_px=cfg.det_min_len_px,
+                min_density=cfg.det_min_density,
+                ccl_impl=cfg.ccl_impl,
+                selection=cfg.det_selection,
+                max_records=cfg.det_max_records)
             l = lineops.segments_to_homogeneous(lp)
             l = jnp.where(lmask[:, None], l, 0.0)
             img_u8 = sphere_mod.sphere_image_uint8(l, lmask,
@@ -169,7 +179,8 @@ def main() -> int:
                                           lmask, cfg.em)
             return calculate_horizon_and_ortho_vp(
                 em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
-                theta_vmin=cfg.theta_vmin)
+                theta_vmin=cfg.theta_vmin,
+                pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
 
         ideal_batch = jax.jit(jax.vmap(ideal_one))
         hp1s, hp2s = [], []

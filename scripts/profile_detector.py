@@ -101,28 +101,35 @@ def main() -> int:
     front_j = jax.jit(jax.vmap(front))
     active, ux, uy, mag = bench("front (blur+grad)", front_j, images)
 
-    for passes in (8, 4, 2):
-        bench(f"ccl passes={passes}",
-              jax.jit(jax.vmap(lambda a, x, y, p=passes: ccl(a, x, y, p))),
-              active, ux, uy)
-    if jax.default_backend() != "cpu":
-        from vanishing_points_2017_tpu.ops.ccl_pallas import (
-            connected_components_pallas_batch)
-        for passes in (8, 4):
-            for rpb in (8, 16):
-                bench(f"ccl pallas p={passes} rpb={rpb}",
-                      jax.jit(lambda a, x, y, p=passes, r=rpb:
-                              connected_components_pallas_batch(
-                                  a, x, y, cos_tol, passes=p,
-                                  rows_per_block=r)),
-                      active, ux, uy)
+    # PROF_SWEEPS=0 skips the ccl-impl/pass and runs_per_row tuning rows
+    # (each is its own axon compile + server setup) when only the bisect
+    # or the whole-detector rows are wanted.
+    sweeps = os.environ.get("PROF_SWEEPS", "1") == "1"
+    if sweeps:
+        for passes in (8, 4, 2):
+            bench(f"ccl passes={passes}",
+                  jax.jit(jax.vmap(
+                      lambda a, x, y, p=passes: ccl(a, x, y, p))),
+                  active, ux, uy)
+        if jax.default_backend() != "cpu":
+            from vanishing_points_2017_tpu.ops.ccl_pallas import (
+                connected_components_pallas_batch)
+            for passes in (8, 4):
+                for rpb in (8, 16):
+                    bench(f"ccl pallas p={passes} rpb={rpb}",
+                          jax.jit(lambda a, x, y, p=passes, r=rpb:
+                                  connected_components_pallas_batch(
+                                      a, x, y, cos_tol, passes=p,
+                                      rows_per_block=r)),
+                          active, ux, uy)
     root = jax.vmap(lambda a, x, y: ccl(a, x, y, 8))(active, ux, uy)
 
-    for rpr in (64, 32):
-        bench(f"stats runs_per_row={rpr}",
-              jax.jit(jax.vmap(lambda im, r, m, a, k=rpr: stats(
-                  im, r, m, a, k))),
-              images, root, mag, active)
+    if sweeps:
+        for rpr in (64, 32):
+            bench(f"stats runs_per_row={rpr}",
+                  jax.jit(jax.vmap(lambda im, r, m, a, k=rpr: stats(
+                      im, r, m, a, k))),
+                  images, root, mag, active)
 
     # PROF_BISECT=1: time cumulative prefixes of the PRODUCTION
     # _component_stats (via its _stop_after debug knob) at the production

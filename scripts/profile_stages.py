@@ -123,7 +123,8 @@ def main() -> int:
             "cnn forward") else cnn_fwd(img_u8)
     if need_em:
         em = bench("em", em_fn, l, lp, pred,
-                   img_u8.astype(jnp.float32), lm)
+                   img_u8.astype(jnp.float32), lm) if want("em") \
+            else em_fn(l, lp, pred, img_u8.astype(jnp.float32), lm)
     if want("horizon"):
         bench("horizon", hor, em.vp, em.counts, em.alive)
     if want("fused"):

@@ -76,17 +76,22 @@ def _run_benchmark(argv, capsys):
 
 def _seed_skip_results(result_dir, dataset_name, records, start,
                        key_suffix=""):
-    """Write placeholder 'result' entries for the protocol-skipped first 25
+    """Write placeholder result entries for the protocol-skipped first 25
     images so the device stage only computes the evaluated tail. The eval
     loop never reads skipped entries; this only saves CI time (the REAL
-    datasets have 100+ images, the minis exist to exercise the formats)."""
+    datasets have 100+ images, the minis exist to exercise the formats).
+
+    Must compose the cache directory key and the weights-scoped result
+    stage name exactly as benchmark.py does (benchmark.py:101-114), or
+    the placeholders land in a directory/stage the driver never reads."""
+    from vanishing_points_2017_tpu import weights as wload
     from vanishing_points_2017_tpu.data.cache import StageCache
     from vanishing_points_2017_tpu.pipeline import PipelineConfig
 
     cache = StageCache(os.path.join(result_dir, dataset_name),
                        PipelineConfig().cache_key() + key_suffix)
     for rec in records[:start]:
-        cache.save(rec.name, "result",
+        cache.save(rec.name, "result_w" + wload.weights_identity(),
                    hp1=np.zeros(3), hp2=np.zeros(3))
 
 
@@ -110,6 +115,10 @@ def test_benchmark_real_formats_end_to_end(tmp_path, capsys):
         ["--yud", "--dataset_dir", root, "--result_dir", result_dir,
          "--run_cnn", "--batch", "2", "--no_weights_warn"], capsys)
     assert out.count("max_error:") == 2, out
+    # the seeded placeholders must actually be FOUND by the driver (same
+    # directory key + weights-scoped stage name), so the device stage
+    # computed only the 2-image eval tail, not the 25 skipped images
+    assert "device stage: 2 imgs" in out, out
     assert auc > threshold, (auc, out)
 
     root = str(tmp_path / "ecd")
