@@ -169,7 +169,8 @@ def measure(platform: str, split: str, batch: int, iters: int, size: int,
                 min_len_px=cfg.det_min_len_px,
                 min_density=cfg.det_min_density,
                 selection=cfg.det_selection,
-                max_records=cfg.det_max_records)
+                max_records=cfg.det_max_records,
+                topk_impl=cfg.det_topk)
             l_d = jnp.where(lm_d[:, None],
                             lineops.segments_to_homogeneous(lp_d), 0.0)
             return l_d, lp_d, lm_d

@@ -34,6 +34,9 @@ def main() -> int:
     ap.add_argument("--det_selection", default=None,
                     help="override PipelineConfig.det_selection "
                          "(row | global)")
+    ap.add_argument("--det_topk", default=None,
+                    help="override PipelineConfig.det_topk "
+                         "(exact | approx; approx only differs on TPU)")
     ap.add_argument("--horizon_tol", type=float, default=None,
                     help="override PipelineConfig.horizon_pos_gate_tol "
                          "(inf = exact reference gating)")
@@ -66,6 +69,8 @@ def main() -> int:
     cfg = PipelineConfig()
     if args.det_selection:
         cfg = dataclasses.replace(cfg, det_selection=args.det_selection)
+    if args.det_topk:
+        cfg = dataclasses.replace(cfg, det_topk=args.det_topk)
     if args.horizon_tol is not None:
         cfg = dataclasses.replace(cfg, horizon_pos_gate_tol=args.horizon_tol)
     if args.cnn_dtype:
@@ -169,7 +174,8 @@ def main() -> int:
                 min_density=cfg.det_min_density,
                 ccl_impl=cfg.ccl_impl,
                 selection=cfg.det_selection,
-                max_records=cfg.det_max_records)
+                max_records=cfg.det_max_records,
+                topk_impl=cfg.det_topk)
             l = lineops.segments_to_homogeneous(lp)
             l = jnp.where(lmask[:, None], l, 0.0)
             img_u8 = sphere_mod.sphere_image_uint8(l, lmask,

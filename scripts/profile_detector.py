@@ -158,14 +158,17 @@ def main() -> int:
         "PROF_BUDGETS", "16384").split(","))
     ccls = ["pallas", "xla"] if jax.default_backend() != "cpu" else ["xla"]
     for ccl_impl in ccls:
-        variants = [("row", 32768)] + [("global", b) for b in budgets]
-        for selection, budget in variants:
+        variants = [("row", 32768, "exact")]
+        variants += [("global", b, t) for b in budgets
+                     for t in ("exact", "approx")]
+        for selection, budget, topk in variants:
             det = jax.jit(jax.vmap(
-                lambda im, c=ccl_impl, s=selection, b=budget:
+                lambda im, c=ccl_impl, s=selection, b=budget, t=topk:
                 ld.detect_segments_device(
                     im, max_segments=n_pad, ccl_impl=c, selection=s,
-                    max_records=b)))
-            tag = f" budget={budget}" if selection == "global" else ""
+                    max_records=b, topk_impl=t)))
+            tag = (f" budget={budget} topk={topk}"
+                   if selection == "global" else "")
             bench(f"whole detector ccl={ccl_impl} selection={selection}{tag}",
                   det, images)
     return 0

@@ -48,13 +48,16 @@ REFERENCE_HORIZONS = [
 ]
 
 # (selection, runs_per_row/max_records, min_count, min_len_px, min_density)
+# a "global!" selection = global with topk_impl="approx" (the
+# PartialReduce selection; only differs from exact on TPU backends)
 VARIANTS = [
-    ("row", 64, 15, 12.0, 0.70),     # shipped defaults
+    ("row", 64, 15, 12.0, 0.70),     # row fallback
     ("row", 64, 15, 10.0, 0.70),
     ("row", 64, 15, 12.0, 0.00),     # density gate off
     ("row", 48, 15, 12.0, 0.70),     # budget too small for real photos
-    ("global", 32768, 15, 12.0, 0.70),
+    ("global", 32768, 15, 12.0, 0.70),   # shipped defaults
     ("global", 16384, 15, 12.0, 0.70),
+    ("global!", 32768, 15, 12.0, 0.70),  # approx top-k candidate
 ]
 
 
@@ -124,8 +127,10 @@ def main() -> int:
           "| photo errs -> worst | synthAUC")
     for sel, budget, cnt, ln, dens in VARIANTS:
         kw = dict(max_segments=512, min_count=cnt, min_len_px=ln,
-                  min_density=dens, selection=sel)
-        if sel == "global":
+                  min_density=dens, selection=sel.rstrip("!"))
+        if sel.endswith("!"):
+            kw["topk_impl"] = "approx"
+        if sel.startswith("global"):
             kw["max_records"] = budget
         else:
             kw["runs_per_row"] = budget

@@ -97,7 +97,7 @@ def test_det_key_tracks_detector_config(monkeypatch):
     seen = {base.det_key()}
     for field, val in (("det_min_count", 20), ("det_min_len_px", 15.0),
                        ("det_min_density", 0.0), ("det_selection", "row"),
-                       ("det_max_records", 16384)):
+                       ("det_max_records", 16384), ("det_topk", "approx")):
         key = dataclasses.replace(base, **{field: val}).det_key()
         assert key not in seen, (field, key)
         seen.add(key)
@@ -309,6 +309,36 @@ def test_global_prefilter_equivalence():
                                       selection="global",
                                       global_prefilter=1)
     assert int(np.sum(np.asarray(m2))) < int(np.sum(np.asarray(m1)))
+
+
+def test_global_topk_approx_matches_exact_on_cpu():
+    """topk_impl='approx' routes the global selection through
+    jax.lax.approx_max_k. On non-TPU backends that lowers to the exact
+    top-k (recall 1.0), so on this CPU test backend the approx path
+    must be BIT-IDENTICAL to the exact one — this guards the wiring
+    (flat positions taken directly from the approx indices, rec_ok
+    masking, no prefilter), not the TPU recall behavior, which is gated
+    on chip (scripts/sweep_detector_gates.py 'global!' variant,
+    BASELINE.md round-4 selection bisect)."""
+    import jax.numpy as jnp
+    from vanishing_points_2017_tpu.ops.lines_device import (
+        detect_segments_device)
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        scene = synth.make_scene(rng, lines_per_vp=30, outliers=10)
+        img = jnp.asarray(render_scene_image(scene, size=320, rng=rng)
+                          .astype(np.float32))
+        seg0, m0 = detect_segments_device(img, max_segments=256,
+                                          selection="global")
+        seg1, m1 = detect_segments_device(img, max_segments=256,
+                                          selection="global",
+                                          topk_impl="approx")
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg1))
+    with pytest.raises(ValueError):
+        detect_segments_device(img, max_segments=256, selection="global",
+                               topk_impl="sloppy")
 
 
 def test_coord_affine_equivalence():

@@ -340,6 +340,7 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                      selection: str = "row",
                      max_records: int = 32768,
                      global_prefilter: int | None = None,
+                     topk_impl: str = "exact",
                      coord_affine: tuple[float, float, float] | None = None,
                      _stop_after: str | None = None):
     """Top-k components by gradient mass, with exact moments + extremal
@@ -437,7 +438,31 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     if selection not in ("row", "global"):
         raise ValueError(f"unknown selection {selection!r}; "
                          "expected 'row' or 'global'")
-    if selection == "global":
+    if topk_impl not in ("exact", "approx"):
+        raise ValueError(f"unknown topk_impl {topk_impl!r}; "
+                         "expected 'exact' or 'approx'")
+    if selection == "global" and topk_impl == "approx":
+        # TPU-native PartialReduce (jax.lax.approx_max_k) instead of the
+        # exact top_k's full sort — chip-measured at dispatch noise where
+        # the exact selection chain is ~1.5 ms/img (BASELINE.md round-4
+        # "selection bisect"). Semantics: when the image holds <=
+        # max_records nonzero runs the kept SET equals the exact one
+        # (measured: all true candidates kept); above the budget it may
+        # additionally miss ~(1 - recall_target) of records near the
+        # mass boundary — the same graceful partial-drop class as the
+        # row budget (a component keeps its other rows' records). The
+        # indices ARE the flat run-end positions (no prefilter/pos
+        # bookkeeping). On non-TPU backends approx_max_k lowers to the
+        # exact sort, so CPU tests cannot observe recall misses — the
+        # real-photo/AUC gates for this mode run on chip
+        # (scripts/sweep_detector_gates.py, eval_device_detector.py).
+        r_sel = min(max_records, h * w)
+        mass_flat = jnp.where(is_end, qs[0], -1.0).reshape(-1)
+        top_mass, flat_pos = jax.lax.approx_max_k(
+            mass_flat, r_sel, recall_target=0.99)
+        flat_pos = flat_pos.astype(jnp.int32)
+        rec_ok = top_mass > 0.0
+    elif selection == "global":
         # Two-stage selection: a per-row top-k_pre prefilter, then the
         # flat top-max_records over the H*k_pre candidates. The naive
         # one-stage top_k over all H*W run-end masses lowers to a full
@@ -639,7 +664,8 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
                                              "check_fixpoint",
                                              "ccl_impl",
                                              "selection", "max_records",
-                                             "global_prefilter"))
+                                             "global_prefilter",
+                                             "topk_impl"))
 def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            tol_deg: float = TOL_DEG, min_count: int = 15,
                            min_len_px: float = 12.0,
@@ -652,7 +678,8 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                            ccl_impl: str | None = None,
                            selection: str = "row",
                            max_records: int = 32768,
-                           global_prefilter: int | None = None):
+                           global_prefilter: int | None = None,
+                           topk_impl: str = "exact"):
     """(H, W) grayscale in [0, 255] -> (segments (S, 4) normalized, mask).
 
     Segments are sorted by decreasing accumulated gradient mass.
@@ -676,6 +703,11 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     ``global_prefilter``: per-row candidate cap of the global selection's
     two-stage top-k (None = the 3w/10 rule, 0 = the one-stage oracle;
     see _component_stats).
+    ``topk_impl``: "exact" (bit-exact global top-``max_records``) or
+    "approx" (TPU PartialReduce via ``jax.lax.approx_max_k``, ~the whole
+    selection stage for free; set-exact whenever the image holds <=
+    max_records nonzero runs, may miss ~1% of boundary records above it
+    — see _component_stats). Only meaningful with selection="global".
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
@@ -731,6 +763,7 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
                           selection=selection,
                           max_records=max_records,
                           global_prefilter=global_prefilter,
+                          topk_impl=topk_impl,
                           coord_affine=(float(w), float(h), s))
     slot_valid = st["valid"]
     s_cnt, cx, cy = st["cnt"], st["cx"], st["cy"]

@@ -107,6 +107,16 @@ class PipelineConfig:
     # synthetic-only throughput deployments should lower it.
     det_selection: str = "global"
     det_max_records: int = 32768
+    # Global-selection top-k implementation: "exact" (bit-exact full
+    # top_k) or "approx" (jax.lax.approx_max_k, the TPU-native
+    # PartialReduce — chip-measured it makes the whole selection stage
+    # ~free where exact costs ~1.5 ms/img). approx keeps the exact
+    # candidate SET whenever the image holds <= det_max_records nonzero
+    # runs (all synthetic scenes); above the budget it may miss ~1% of
+    # records near the mass boundary. Opt-in until/unless the chip
+    # real-photo + AUC gates clear it (BASELINE.md round-4 selection
+    # bisect); on CPU backends it lowers to the exact sort.
+    det_topk: str = "exact"
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -140,9 +150,12 @@ class PipelineConfig:
         on_tpu = jax.default_backend() == "tpu"
         ccl = self.ccl_impl or os.environ.get("VP_CCL_IMPL", "pallas")
         ccl = "xla" if (not on_tpu or ccl == "xla") else "pallas"
+        # det_topk is omitted at the default "exact" so pre-existing
+        # cache keys stay valid (same pattern as horizon_pos_gate_tol)
+        topk = "" if self.det_topk == "exact" else f"-{self.det_topk}"
         return (f"det{self.det_selection}{self.det_min_count}"
                 f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
-                f"-{self.det_max_records}-{ccl}")
+                f"-{self.det_max_records}-{ccl}{topk}")
 
 
 def pad_lines(segments: np.ndarray, n_pad: int):
@@ -237,7 +250,8 @@ def device_pipeline_full(images: jnp.ndarray, params: Any, mean: jnp.ndarray,
                                            min_density=cfg.det_min_density,
                                            ccl_impl=cfg.ccl_impl,
                                            selection=cfg.det_selection,
-                                           max_records=cfg.det_max_records)
+                                           max_records=cfg.det_max_records,
+                                           topk_impl=cfg.det_topk)
         l = lineops.segments_to_homogeneous(lp)
         l = jnp.where(lmask[:, None], l, 0.0)
         return device_pipeline(l, lp, lmask, params, mean, cfg)
