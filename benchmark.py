@@ -106,14 +106,16 @@ def main() -> int:
     cache_key = cfg.cache_key() + (
         "_devdet_" + cfg.det_key() if args.device_detect else "")
     cache = StageCache(os.path.join(args.result_dir, name), cache_key)
-    # the weights fingerprint scopes the RESULT stage only: results
-    # downstream of the CNN depend on the exact weights artifact, and a
-    # retrain must never serve a previous artifact's cached results —
-    # but the ingest/LSD stage outputs are weights-independent and must
-    # survive a retrain (host LSD over a dataset is the expensive stage)
-    result_stage = "result_w" + wfp
+    # the weights + mean fingerprints scope the RESULT stage only: results
+    # downstream of the CNN depend on the exact weights AND mean artifacts
+    # (both shift CNN output), and a retrain/mean swap must never serve a
+    # previous artifact's cached results — but the ingest/LSD stage outputs
+    # are weights-independent and must survive a retrain (host LSD over a
+    # dataset is the expensive stage)
+    mfp = wload.mean_identity(args.mean)
+    result_stage = "result_w" + wfp + "_m" + mfp
     print(f"dataset: {name}  images: {len(records)}  skip: {start}  "
-          f"weights: {wfp}")
+          f"weights: {wfp}  mean: {mfp}")
 
     # ---- stage 1: host ingest (+ LSD unless detection runs on device) ----
     for rec in records:

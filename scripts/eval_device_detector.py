@@ -23,6 +23,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def build_scene_set(count: int, size: int = 640, seed: int = 7):
+    """The 50-scene synthetic AUC protocol's scene set — fixed seed so
+    every AUC measured against it (BASELINE.md rounds 2-5, the
+    re-validation gate) is comparable. Returns (scenes, rendered uint8
+    images)."""
+    from vanishing_points_2017_tpu.data import datasets as dsets
+    from vanishing_points_2017_tpu.models import synth
+
+    rng = np.random.default_rng(seed)
+    scenes, images = [], []
+    for _ in range(count):
+        scene = synth.make_scene(rng, lines_per_vp=int(rng.integers(25, 60)),
+                                 outliers=int(rng.integers(5, 25)))
+        scenes.append(scene)
+        images.append(dsets.render_scene_image(scene, size=size, rng=rng))
+    return scenes, images
+
+
+def scene_horizon_errors(scenes, hp1s, hp2s, size: int):
+    from vanishing_points_2017_tpu.data import datasets as dsets
+
+    errs = []
+    for scene, hp1, hp2 in zip(scenes, hp1s, hp2s):
+        est = np.cross(np.asarray(hp1, np.float64),
+                       np.asarray(hp2, np.float64))
+        errs.append(dsets.normalized_horizon_error(
+            est, scene.horizon.astype(np.float64),
+            width=size, height=size))
+    return np.array(errs)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default=None)
@@ -79,22 +110,10 @@ def main() -> int:
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
     paths = args.paths.split(",")
 
-    rng = np.random.default_rng(7)
-    scenes, images = [], []
-    for _ in range(args.count):
-        scene = synth.make_scene(rng, lines_per_vp=int(rng.integers(25, 60)),
-                                 outliers=int(rng.integers(5, 25)))
-        scenes.append(scene)
-        images.append(dsets.render_scene_image(scene, size=args.size, rng=rng))
+    scenes, images = build_scene_set(args.count, size=args.size)
 
     def horizon_errors(hp1s, hp2s):
-        errs = []
-        for scene, hp1, hp2 in zip(scenes, hp1s, hp2s):
-            est = np.cross(hp1, hp2)
-            errs.append(dsets.normalized_horizon_error(
-                est, scene.horizon.astype(np.float64),
-                width=args.size, height=args.size))
-        return np.array(errs)
+        return scene_horizon_errors(scenes, hp1s, hp2s, args.size)
 
     results = {}
 

@@ -91,7 +91,8 @@ def _seed_skip_results(result_dir, dataset_name, records, start,
     cache = StageCache(os.path.join(result_dir, dataset_name),
                        PipelineConfig().cache_key() + key_suffix)
     for rec in records[:start]:
-        cache.save(rec.name, "result_w" + wload.weights_identity(),
+        cache.save(rec.name, "result_w" + wload.weights_identity()
+                   + "_m" + wload.mean_identity(),
                    hp1=np.zeros(3), hp2=np.zeros(3))
 
 

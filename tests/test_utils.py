@@ -59,33 +59,43 @@ def test_artifact_fingerprint_tracks_content(tmp_path):
 
 def test_default_weights_path_shadowing(tmp_path, monkeypatch, capsys):
     """A stale gitignored dense artifact must NOT shadow the versioned
-    compact weights; a FRESHER dense retrain wins with a notice."""
+    compact weights; a FRESHER dense retrain wins with a notice. The
+    arbitration notice goes to STDERR unconditionally — even warn=False
+    callers (bench.py) must reveal which artifact won, since it changes
+    every AUC/bench number (advisor r4 #1) — and is deduped per process."""
     import os
     assets = tmp_path / "assets"
     assets.mkdir()
     compact = assets / "weights_compact.npz"
     dense = assets / "weights.npz"
     monkeypatch.setattr(wload, "_repo_root", lambda: str(tmp_path))
+    wload._arbitration_notified.clear()
 
     # only compact -> compact
     compact.write_bytes(b"compact")
     assert wload.default_weights_path(warn=False) == str(compact)
 
-    # stale dense (older mtime) -> still compact, with a notice
+    # stale dense (older mtime) -> still compact, with a notice EVEN at
+    # warn=False (the silent-shadowing scenario the advisor flagged)
     dense.write_bytes(b"dense-old")
     os.utime(dense, ns=(10, 10))
     os.utime(compact, ns=(20, 20))
+    assert wload.default_weights_path(warn=False) == str(compact)
+    assert "IGNORING stale dense" in capsys.readouterr().err
+
+    # deduped: the same decision does not spam a second notice
     assert wload.default_weights_path() == str(compact)
-    assert "IGNORING stale dense" in capsys.readouterr().out
+    assert "IGNORING" not in capsys.readouterr().err
 
     # fresher dense retrain -> dense, with a notice
     os.utime(dense, ns=(30, 30))
-    assert wload.default_weights_path() == str(dense)
-    assert "dense retrain" in capsys.readouterr().out
+    assert wload.default_weights_path(warn=False) == str(dense)
+    assert "dense retrain" in capsys.readouterr().err
 
     # only dense -> dense
     compact.unlink()
     assert wload.default_weights_path(warn=False) == str(dense)
+    wload._arbitration_notified.clear()
 
 
 def test_weights_identity_resolves_default(tmp_path, monkeypatch):

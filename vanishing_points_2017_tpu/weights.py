@@ -82,6 +82,23 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# dense-vs-compact arbitration notices already emitted this process (the
+# resolver runs several times per driver; the user needs the fact once)
+_arbitration_notified: set = set()
+
+
+def _notice(msg: str) -> None:
+    """Arbitration notices go to stderr UNCONDITIONALLY (not gated on
+    ``warn``): which artifact wins changes every AUC/bench number, so a
+    bench header run with ``warn=False`` must still reveal the switch
+    (advisor r4 #1)."""
+    import sys
+
+    if msg not in _arbitration_notified:
+        _arbitration_notified.add(msg)
+        print(msg, file=sys.stderr)
+
+
 def default_weights_path(warn: bool = True) -> str:
     """The VERSIONED factorized float16 artifact
     (assets/weights_compact.npz, rank-256 fc6/fc7 via
@@ -99,15 +116,13 @@ def default_weights_path(warn: bool = True) -> str:
         if not os.path.isfile(compact):
             return dense
         if os.path.getmtime(dense) >= os.path.getmtime(compact):
-            if warn:
-                print(f"weights: using dense retrain {dense} "
-                      f"[{artifact_fingerprint(dense)}] (newer than the "
-                      "versioned compact artifact)")
+            _notice(f"weights: using dense retrain {dense} "
+                    f"[{artifact_fingerprint(dense)}] (newer than the "
+                    "versioned compact artifact)")
             return dense
-        if warn:
-            print(f"weights: IGNORING stale dense {dense} (older than the "
-                  "versioned compact artifact; delete it or retrain to "
-                  "use it)")
+        _notice(f"weights: IGNORING stale dense {dense} (older than the "
+                "versioned compact artifact; delete it or retrain to "
+                "use it)")
     return compact
 
 
@@ -123,6 +138,17 @@ def weights_identity(weights_path: str | None = None) -> str:
         p = default_weights_path(warn=False)
         weights_path = p if os.path.isfile(p) else None
     return artifact_fingerprint(weights_path)
+
+
+def mean_identity(mean_path: str | None = None) -> str:
+    """Fingerprint of the mean artifact :func:`load_params_and_mean` would
+    load for ``mean_path`` (default resolution included). The mean changes
+    CNN output exactly like the weights do, so result caches must key on
+    it too (advisor r4 #2). "none" = no mean subtraction."""
+    if mean_path is None:
+        p = default_mean_path()
+        mean_path = p if os.path.isfile(p) else None
+    return artifact_fingerprint(mean_path)
 
 
 def load_params_and_mean(weights_path: str | None = None,
