@@ -166,3 +166,32 @@ def test_two_vp_fallback_with_dead_leading_slots():
     assert np.isfinite(np.asarray(hp2)).all()
     want = np.cross(vps[0], vps[1])
     assert abs(np.dot(want, np.asarray(hp1))) < 1e-4
+
+
+def test_triplet_score_margin_probe():
+    """triplet_score_margin must agree with the estimator on s1's winner
+    family and report sane sensitivity numbers: a dominant orthogonal
+    triplet has rel_margin near 1 against a weak contender; adding an
+    equal-score duplicate of the winner collapses the margin to ~0 with
+    ~0 disagreement (a benign near-duplicate, not a knife edge)."""
+    from vanishing_points_2017_tpu.em.horizon import triplet_score_margin
+
+    vps = np.array([[1.0, -0.05, 0.001], [0.0, 1.0, 0.001],
+                    [-0.02, -0.05, 0.9]], np.float32)
+    vps /= np.linalg.norm(vps, axis=1, keepdims=True)
+    counts = np.array([50.0, 60.0, 40.0], np.float32)
+    v, c, a = pad_slots(vps, counts)
+    s1, s2, rel, dis = triplet_score_margin(v, c, a)
+    assert float(s1) > 0
+    assert float(s2) == -2.0  # only one valid triplet exists
+    assert float(rel) == 1.0  # (s1 - max(s2,0)) / s1
+    assert float(dis) == 0.0  # runner-up invalid -> no disagreement
+
+    # duplicate the third VP with equal counts: two triplets tie to f32
+    vps2 = np.vstack([vps, vps[2] + np.array([1e-4, 0, 0], np.float32)])
+    counts2 = np.array([50.0, 60.0, 40.0, 40.0], np.float32)
+    v, c, a = pad_slots(vps2, counts2)
+    s1, s2, rel, dis = triplet_score_margin(v, c, a)
+    assert float(s2) > 0
+    assert float(rel) < 0.01       # near-tie in score ...
+    assert float(dis) < 0.01       # ... but the horizons agree: benign

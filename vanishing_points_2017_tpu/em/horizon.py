@@ -60,38 +60,15 @@ def _cross(a, b):
     return jnp.cross(a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("maxbest",))
-def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
-                                   alive: jnp.ndarray, maxbest: int = 20,
-                                   theta_vmin: float = float(np.pi / 10),
-                                   theta_z: float = float(np.pi / 4),
-                                   pos_gate_ideal_tol: float = float("inf")):
-    """Returns (hP1, hP2, zVP, hVP1, hVP2, best_triplet_vp_indices).
-
-    vps: (M, 3) unit VPs (z >= 0), counts: (M,) unweighted inlier counts,
-    alive: (M,) slot validity. hP1/hP2 are the horizon intersections with
-    x = +-1, dehomogenized.
-
-    ``pos_gate_ideal_tol`` — robustness relaxation of the reference's
-    zenith/horizon position gate (``zenithPos*horPos==1``,
-    ``calc_horizon.py:174-183``), OFF at the default inf (exact
-    reference behavior). The gate compares sign(zenith_y) against which
-    side of the image centre the candidate horizon lies on — but when
-    the vertical VP is nearly at infinity (|y/z| large: near-parallel
-    vertical lines, e.g. a telephoto facade), segment noise at the f32
-    level flips which side the fitted intersection lands on, and the
-    gate then rejects every triplet containing the STRONGEST zenith,
-    letting junk triplets with tiny counts win (measured on the
-    reference's bundled ihme photo: horizon err 0.45 under one segment
-    ordering vs 0.04 under another). The horizon COMPUTED from a
-    wrong-side zenith is unaffected — only ``cross(z_vp, e3)`` (sign-
-    invariant) and the two horizontal VPs enter it — so triplets whose
-    zenith satisfies |y| > tol * |z| (farther than ``tol`` half-frames
-    from centre) waive the side check. Measured on the reference's
-    bundled photos at tol = 4/8/16: identical winners, ihme err
-    0.45 -> 0.040 (global selection) and 0.048 -> 0.037 (row), other
-    photos unchanged (round-4 diagnosis; BASELINE.md).
-    """
+def _score_triplets(vps: jnp.ndarray, counts: jnp.ndarray,
+                    alive: jnp.ndarray, maxbest: int,
+                    theta_vmin: float, theta_z: float,
+                    pos_gate_ideal_tol: float) -> dict:
+    """The shared triplet enumeration + gating + scoring of the horizon
+    search (``calc_horizon.py:45-197``), used by both the estimator
+    (:func:`calculate_horizon_and_ortho_vp`) and the knife-edge
+    sensitivity probe (:func:`triplet_score_margin`). Returns per-triplet
+    arrays; ``score`` is -2 for invalid/NaN triplets (never wins)."""
     m_slots = vps.shape[0]
     counts = jnp.where(alive, counts, -1.0)
     num_alive = jnp.sum(alive)
@@ -201,6 +178,49 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
     score = jnp.where(tri_valid, score, -2.0)
     score = jnp.where(jnp.isnan(score), -2.0, score)  # ref: NaN never wins
 
+    return {"score": score, "hlin": hlin, "hp1": hp1, "hp2": hp2,
+            "z_vp": z_vp, "h_vp1": h_vp1, "h_vp2": h_vp2, "tri": tri,
+            "best_vps": best_vps, "num_best": num_best}
+
+
+@functools.partial(jax.jit, static_argnames=("maxbest",))
+def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
+                                   alive: jnp.ndarray, maxbest: int = 20,
+                                   theta_vmin: float = float(np.pi / 10),
+                                   theta_z: float = float(np.pi / 4),
+                                   pos_gate_ideal_tol: float = float("inf")):
+    """Returns (hP1, hP2, zVP, hVP1, hVP2, best_triplet_vp_indices).
+
+    vps: (M, 3) unit VPs (z >= 0), counts: (M,) unweighted inlier counts,
+    alive: (M,) slot validity. hP1/hP2 are the horizon intersections with
+    x = +-1, dehomogenized.
+
+    ``pos_gate_ideal_tol`` — robustness relaxation of the reference's
+    zenith/horizon position gate (``zenithPos*horPos==1``,
+    ``calc_horizon.py:174-183``), OFF at the default inf (exact
+    reference behavior). The gate compares sign(zenith_y) against which
+    side of the image centre the candidate horizon lies on — but when
+    the vertical VP is nearly at infinity (|y/z| large: near-parallel
+    vertical lines, e.g. a telephoto facade), segment noise at the f32
+    level flips which side the fitted intersection lands on, and the
+    gate then rejects every triplet containing the STRONGEST zenith,
+    letting junk triplets with tiny counts win (measured on the
+    reference's bundled ihme photo: horizon err 0.45 under one segment
+    ordering vs 0.04 under another). The horizon COMPUTED from a
+    wrong-side zenith is unaffected — only ``cross(z_vp, e3)`` (sign-
+    invariant) and the two horizontal VPs enter it — so triplets whose
+    zenith satisfies |y| > tol * |z| (farther than ``tol`` half-frames
+    from centre) waive the side check. Measured on the reference's
+    bundled photos at tol = 4/8/16: identical winners, ihme err
+    0.45 -> 0.040 (global selection) and 0.048 -> 0.037 (row), other
+    photos unchanged (round-4 diagnosis; BASELINE.md).
+    """
+    t = _score_triplets(vps, counts, alive, maxbest, theta_vmin, theta_z,
+                        pos_gate_ideal_tol)
+    score, hlin, tri = t["score"], t["hlin"], t["tri"]
+    z_vp, h_vp1, h_vp2 = t["z_vp"], t["h_vp1"], t["h_vp2"]
+    best_vps, num_best = t["best_vps"], t["num_best"]
+
     best = jnp.argmax(score)  # first max: matches strict-improvement loop
 
     # ---- fallback branches (< 3 usable VPs) ----
@@ -211,6 +231,7 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
     alive_order = jnp.argsort(~alive, stable=True)
     v_a0 = vps[alive_order[0]]
     v_a1 = vps[alive_order[1]]
+    e3 = jnp.array([0.0, 0.0, 1.0], vps.dtype)
     e010 = jnp.array([0.0, 1.0, 0.0], vps.dtype)
     hlin_default = _cross(e3, jnp.array([1.0, 0.0, 1.0], vps.dtype))  # y = 0
 
@@ -246,3 +267,41 @@ def calculate_horizon_and_ortho_vp(vps: jnp.ndarray, counts: jnp.ndarray,
     hp2f = hp2f / hp2f[2]
 
     return hp1f, hp2f, z_vp_f, h_vp1_f, h_vp2_f, combo_f
+
+
+@functools.partial(jax.jit, static_argnames=("maxbest",))
+def triplet_score_margin(vps: jnp.ndarray, counts: jnp.ndarray,
+                         alive: jnp.ndarray, maxbest: int = 20,
+                         theta_vmin: float = float(np.pi / 10),
+                         theta_z: float = float(np.pi / 4),
+                         pos_gate_ideal_tol: float = float("inf")):
+    """Knife-edge sensitivity probe of the horizon's triplet search.
+
+    The EM's residual fragility (BASELINE.md rounds 3-5) is that two
+    competing VP triplets can score nearly equally, so an f32-level
+    segment perturbation flips the winner — and with it the horizon
+    tilt. This quantifies that: returns
+
+    - ``s1, s2``: the top-2 triplet scores (reference score =
+      gate * counts_sum * ortho, ``calc_horizon.py:164-186``),
+    - ``rel_margin``: ``(s1 - s2) / s1`` (0 when s1 <= 0 — degenerate),
+    - ``disagreement``: max |Δy| at x = ±1 (normalized frame units)
+      between the top-2 triplets' horizons — how far the horizon would
+      MOVE if the runner-up won. Small margin is only dangerous when
+      disagreement is large (near-duplicate triplets of one zenith
+      family score close but agree on the horizon).
+
+    Same gating/config arguments as :func:`calculate_horizon_and_ortho_vp`
+    so a pipeline's exact search is probed.
+    """
+    t = _score_triplets(vps, counts, alive, maxbest, theta_vmin, theta_z,
+                        pos_gate_ideal_tol)
+    score = t["score"]
+    top2_s, top2_i = jax.lax.top_k(score, 2)
+    s1, s2 = top2_s[0], top2_s[1]
+    rel_margin = jnp.where(s1 > 0, (s1 - jnp.maximum(s2, 0.0)) / s1, 0.0)
+    hp1, hp2 = t["hp1"], t["hp2"]  # (T, 3), dehomogenized
+    d1 = jnp.abs(hp1[top2_i[0], 1] - hp1[top2_i[1], 1])
+    d2 = jnp.abs(hp2[top2_i[0], 1] - hp2[top2_i[1], 1])
+    disagreement = jnp.where(s2 > 0, jnp.maximum(d1, d2), 0.0)
+    return s1, s2, rel_margin, disagreement
