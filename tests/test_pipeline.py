@@ -97,7 +97,7 @@ def test_det_key_tracks_detector_config(monkeypatch):
     seen = {base.det_key()}
     for field, val in (("det_min_count", 20), ("det_min_len_px", 15.0),
                        ("det_min_density", 0.0), ("det_selection", "row"),
-                       ("det_max_records", 16384), ("det_topk", "approx")):
+                       ("det_max_records", 16384), ("det_topk", "exact")):
         key = dataclasses.replace(base, **{field: val}).det_key()
         assert key not in seen, (field, key)
         seen.add(key)
@@ -106,7 +106,11 @@ def test_det_key_tracks_detector_config(monkeypatch):
     # CPU backend: a pallas request cannot run, so it must key as xla
     unhonored = dataclasses.replace(base, ccl_impl="pallas")
     assert unhonored.det_key() == base.det_key()
-    assert base.det_key().endswith("-xla")
+    # the round-5 approx default is RECORDED; "exact" keys bare (its
+    # historical form) so pre-round-5 exact caches stay addressable
+    assert base.det_key().endswith("-xla-approx")
+    exact = dataclasses.replace(base, det_topk="exact")
+    assert exact.det_key().endswith("-xla")
 
 
 def test_cache_key_tracks_horizon_gate_tol():

@@ -708,6 +708,9 @@ def detect_segments_device(image: jnp.ndarray, max_segments: int = 512,
     selection stage for free; set-exact whenever the image holds <=
     max_records nonzero runs, may miss ~1% of boundary records above it
     — see _component_stats). Only meaningful with selection="global".
+    "approx" is the production default since round 5 (the chip
+    re-validation gate passed with outputs identical to exact —
+    BASELINE.md round-5 section).
     """
     h, w = image.shape
     img = image.astype(jnp.float32)

@@ -109,14 +109,17 @@ class PipelineConfig:
     det_max_records: int = 32768
     # Global-selection top-k implementation: "exact" (bit-exact full
     # top_k) or "approx" (jax.lax.approx_max_k, the TPU-native
-    # PartialReduce — chip-measured it makes the whole selection stage
-    # ~free where exact costs ~1.5 ms/img). approx keeps the exact
-    # candidate SET whenever the image holds <= det_max_records nonzero
-    # runs (all synthetic scenes); above the budget it may miss ~1% of
-    # records near the mass boundary. Opt-in until/unless the chip
-    # real-photo + AUC gates clear it (BASELINE.md round-4 selection
-    # bisect); on CPU backends it lowers to the exact sort.
-    det_topk: str = "exact"
+    # PartialReduce — chip-measured ~3 ms/batch-of-16 cheaper inside the
+    # whole detector where the exact chains cost ~1.5 ms/img). approx
+    # keeps the exact candidate SET whenever the image holds <=
+    # det_max_records nonzero runs (all synthetic scenes); above the
+    # budget it may miss ~1% of records near the mass boundary —
+    # measured recall 1.0000 on a dense 57k-candidate input. DEFAULT
+    # since round 5: the chip re-validation gate passed with outputs
+    # identical to exact (real photos 0.040/0.009/0.005, synthetic gap
+    # +0.0044 — BASELINE.md round-5). "exact" remains the bit-exact
+    # fallback; on CPU backends approx lowers to the exact sort anyway.
+    det_topk: str = "approx"
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -150,8 +153,11 @@ class PipelineConfig:
         on_tpu = jax.default_backend() == "tpu"
         ccl = self.ccl_impl or os.environ.get("VP_CCL_IMPL", "pallas")
         ccl = "xla" if (not on_tpu or ccl == "xla") else "pallas"
-        # det_topk is omitted at the default "exact" so pre-existing
-        # cache keys stay valid (same pattern as horizon_pos_gate_tol)
+        # det_topk is omitted at "exact" (the bit-exact reference point):
+        # exact-path caches keep their historical keys, while approx-path
+        # results (the round-5 default — identical on-chip outputs but a
+        # DIFFERENT algorithm above the record budget) key separately and
+        # can never serve an exact-path consumer
         topk = "" if self.det_topk == "exact" else f"-{self.det_topk}"
         return (f"det{self.det_selection}{self.det_min_count}"
                 f"-{self.det_min_len_px:g}-{self.det_min_density:g}"
