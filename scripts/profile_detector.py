@@ -65,7 +65,7 @@ def main() -> int:
         return ld._connected_components(active, ux, uy, cos_tol, passes)
 
     def stats(img, root, mag, active, runs_per_row, selection="row",
-              max_records=32768, stop_after=None):
+              max_records=32768, topk_impl="exact", stop_after=None):
         h, w = img.shape
         hi, wi = h - 1, w - 1
         s = max(h, w) / 2.0
@@ -79,6 +79,7 @@ def main() -> int:
                                    (hi, wi), runs_per_row=runs_per_row,
                                    selection=selection,
                                    max_records=max_records,
+                                   topk_impl=topk_impl,
                                    coord_affine=(float(w), float(h), s),
                                    _stop_after=stop_after)
 
@@ -140,13 +141,18 @@ def main() -> int:
     # the round-3c scan find), so optimize on deltas but judge on the
     # whole-detector rows below.
     if os.environ.get("PROF_BISECT", "0") == "1":
+        # PROF_BISECT_TOPK defaults to the round-5 production default
+        # (PipelineConfig.det_topk == "approx"); "exact" reproduces the
+        # round-4 bisect rows.
+        btopk = os.environ.get("PROF_BISECT_TOPK", "approx")
         prefixes = ("scans", "select", "sort", "gsum", "broadcast",
                     "minmax", None)
         for stop in prefixes:
-            bench(f"stats[global 32768] ..{stop or 'full'}",
+            bench(f"stats[global 32768 {btopk}] ..{stop or 'full'}",
                   jax.jit(jax.vmap(lambda im, r, m, a, st=stop: stats(
                       im, r, m, a, 64, selection="global",
-                      max_records=32768, stop_after=st))),
+                      max_records=32768, topk_impl=btopk,
+                      stop_after=st))),
                   images, root, mag, active)
 
     # whole detector per CCL impl and selection mode — EXPLICIT args

@@ -424,9 +424,14 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     q = jnp.stack([w2, w2 * xn2, w2 * xn2 * xn2,
                    (w2 > 0).astype(f32)], axis=0)  # (4,H,W)
     qs = _segmented_sum_scan(q, conn[None], log_w)
-    x_first = _segmented_copy_first(xn2, conn, log_w)
+    # In affine mode the run's FIRST x is derived per record from the
+    # run-end column and the count channel (see the fetch below), so the
+    # whole (H, W) copy-first doubling chain (log2 W rounds) is dropped
+    # from the production path; the oracle (coord_affine=None) keeps it.
+    x_first = (None if coord_affine is not None
+               else _segmented_copy_first(xn2, conn, log_w))
     if _stop_after == "scans":
-        return qs, x_first
+        return qs if x_first is None else (qs, x_first)
 
     # ---- run-record selection: global top-R (by run mass over the whole
     # image) or per-row top-k. Global is exact whenever the image holds
@@ -515,12 +520,12 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
     # dominant hidden cost of the row path — while the row-gather's
     # per-record DMA is ~free. Identical values in identical (row-major)
     # order, so outputs are bit-identical to the take formulation.
-    chans = [*(qs[i].reshape(-1) for i in range(4)), x_first.reshape(-1)]
+    chans = [qs[i].reshape(-1) for i in range(4)]
     if coord_affine is None:
-        chans += [xn2.reshape(-1), yn2.reshape(-1)]
+        chans += [x_first.reshape(-1), xn2.reshape(-1), yn2.reshape(-1)]
         g = jnp.stack(chans, axis=1)[flat_pos]                # (R, 7)
         rec_root = jnp.where(rec_ok, r2.reshape(-1)[flat_pos], -1)
-        rec_x1, rec_y = g[:, 5], g[:, 6]
+        rec_x0, rec_x1, rec_y = g[:, 4], g[:, 5], g[:, 6]
     else:
         # ride the root along the same gather as a bitcast f32 channel
         # (int32 bit patterns survive exactly), and RECOMPUTE the
@@ -528,17 +533,27 @@ def _component_stats(root: jnp.ndarray, wgt: jnp.ndarray, xn2: jnp.ndarray,
         # detector's own affine op sequence — bit-identical to gathering
         # the xn2/yn2 grids, two fewer (H*W,) channels of gather traffic.
         chans.append(jax.lax.bitcast_convert_type(r2.reshape(-1), f32))
-        g = jnp.stack(chans, axis=1)[flat_pos]                # (R, 6)
-        root_g = jax.lax.bitcast_convert_type(g[:, 5], jnp.int32)
+        g = jnp.stack(chans, axis=1)[flat_pos]                # (R, 5)
+        root_g = jax.lax.bitcast_convert_type(g[:, 4], jnp.int32)
         rec_root = jnp.where(rec_ok, root_g, -1)
         w_full, h_full, s_half = coord_affine
         row_idx = flat_pos // w
         col_idx = flat_pos - row_idx * w
         rec_x1 = ((col_idx.astype(f32) + 0.5) - w_full / 2.0) / s_half
         rec_y = -((row_idx.astype(f32) + 0.5) - h_full / 2.0) / s_half
+        # the run's FIRST x, derived: a mass>0 run is all-active
+        # (inactive pixels are CCL singletons, _connected_components
+        # docstring), so its pixel count IS its length and
+        # first_col = end_col - cnt + 1. All quantities are small
+        # integers (exact in f32) and the affine expression below is the
+        # op-for-op xn2 grid formula, so rec_x0 is BIT-IDENTICAL to
+        # gathering the segmented copy-first scan of xn2
+        # (tests/test_pipeline.py::test_coord_affine_equivalence) while
+        # the (H, W) copy-first chain disappears from this path.
+        col0 = col_idx.astype(f32) - g[:, 3] + 1.0
+        rec_x0 = ((col0 + 0.5) - w_full / 2.0) / s_half
     rec_w, rec_wx, rec_wxx, rec_cnt = [
         jnp.where(rec_ok, g[:, i], 0.0) for i in range(4)]
-    rec_x0 = g[:, 4]
     # derive the y-moments per record (yn2 constant within a row-run;
     # rec_w/rec_wx are zeroed for invalid records, so the products are too)
     rec_q = [rec_w, rec_wx, rec_y * rec_w, rec_wxx, rec_y * rec_wx,
