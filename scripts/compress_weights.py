@@ -58,7 +58,9 @@ def main() -> int:
     from vanishing_points_2017_tpu.models import factorize, train
 
     print(f"loading {args.weights} ...")
-    params = wload.params_from_npz(args.weights)
+    # host numpy: the randomized SVD is host-side, and a device-resident
+    # fc6 would cost a ~1 GB D2H tunnel transfer just to factorize it
+    params = wload.params_from_npz(args.weights, as_numpy=True)
     ranks = {"fc6": args.rank6, "fc7": args.rank7}
     print(f"factorizing {ranks} ...")
     t0 = time.time()

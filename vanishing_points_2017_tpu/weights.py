@@ -34,7 +34,13 @@ def params_to_npz(params, path: str, step: int | None = None,
     np.savez(path, **flat)
 
 
-def params_from_npz(path: str, with_step: bool = False):
+def params_from_npz(path: str, with_step: bool = False,
+                    as_numpy: bool = False):
+    """``as_numpy=True`` keeps the arrays on the host — required when the
+    caller does host-side numpy work on them (e.g. the compression
+    script's randomized SVD): with jax arrays on a tunneled device the
+    first ``np.asarray(fc6)`` is a ~1 GB D2H transfer that can stall for
+    the better part of an hour."""
     import jax.numpy as jnp
 
     params: dict = {}
@@ -48,7 +54,8 @@ def params_from_npz(path: str, with_step: bool = False):
             v = z[key]
             if v.dtype.kind == "f":
                 v = v.astype(np.float32)  # storage may be float16
-            params.setdefault(layer, {})[k] = jnp.asarray(v)
+            params.setdefault(layer, {})[k] = (
+                v if as_numpy else jnp.asarray(v))
     return (params, step) if with_step else params
 
 
