@@ -122,6 +122,11 @@ def main() -> int:
     ap.add_argument("--scene_pool", type=int, default=50)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--consensus", type=int, default=0,
+                    help="K>1 enables the bootstrap-consensus horizon "
+                         "(PipelineConfig.horizon_consensus) so its "
+                         "flip-rate effect is measured under the same "
+                         "jitter protocol")
     ap.add_argument("--json_out", default="/tmp/knife_edge.json")
     args = ap.parse_args()
 
@@ -137,12 +142,16 @@ def main() -> int:
     from vanishing_points_2017_tpu import weights as wload
 
     cfg = PipelineConfig()
+    if args.consensus > 1:
+        cfg = dataclasses.replace(cfg, horizon_consensus=args.consensus)
+    report_consensus = args.consensus
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
     sigma_norm = args.sigma_px * 2.0 / args.size
     rng = np.random.default_rng(args.seed)
     report = {"sigma_px": args.sigma_px, "drop": args.drop,
-              "jitters": args.jitters, "rows": []}
+              "jitters": args.jitters, "consensus": report_consensus,
+              "rows": []}
 
     def probe(name, lp0, m0, err_fn):
         lps, masks = [lp0], [m0]

@@ -1,0 +1,95 @@
+"""Bootstrap-consensus horizon (em/consensus.py) — unit + wiring tests.
+
+The consensus estimator is the round-5 beyond-parity robustness knob
+for the knife-edge triplet flips quantified in BASELINE.md (the
+reference has no equivalent — its horizon is a single argmax over one
+EM run, calc_horizon.py:88-197). Default OFF: these tests also pin
+that the off-path config identity is unchanged.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vanishing_points_2017_tpu.models import synth
+from vanishing_points_2017_tpu.pipeline import (Pipeline, PipelineConfig,
+                                                pad_lines)
+
+
+def test_masked_median_basic_and_invalid():
+    import jax.numpy as jnp
+
+    from vanishing_points_2017_tpu.em.consensus import masked_median
+
+    x = jnp.asarray([5.0, 1.0, 9.0, 3.0])
+    m = jnp.asarray([True, True, True, True])
+    assert float(masked_median(x, m)) == 4.0  # even count: mean of 3, 5
+    m2 = jnp.asarray([True, False, True, True])
+    assert float(masked_median(x, m2)) == 5.0  # odd count: middle of 3,5,9
+    m3 = jnp.asarray([False] * 4)
+    assert np.isfinite(float(masked_median(x, m3)))  # no-valid: finite
+
+
+def test_bootstrap_populations_shapes_and_identity():
+    import jax.numpy as jnp
+
+    from vanishing_points_2017_tpu.em.consensus import bootstrap_populations
+
+    rng = np.random.default_rng(0)
+    n, nv = 64, 40
+    lp = np.zeros((n, 4), np.float32)
+    lp[:nv] = rng.uniform(-1, 1, size=(nv, 4))
+    l = rng.normal(size=(n, 3)).astype(np.float32)
+    l[nv:] = 0.0
+    m = np.arange(n) < nv
+    l_all, lp_all, m_all = bootstrap_populations(
+        jnp.asarray(l), jnp.asarray(lp), jnp.asarray(m), k=5, seed=3)
+    assert l_all.shape == (5, n, 3) and lp_all.shape == (5, n, 4)
+    # member 0 is the untouched original
+    np.testing.assert_array_equal(np.asarray(l_all[0]), l)
+    np.testing.assert_array_equal(np.asarray(m_all[0]), m)
+    # bootstrap members: same valid count, every valid row drawn from the
+    # original valid set
+    orig = {tuple(row) for row in lp[:nv].tolist()}
+    for j in range(1, 5):
+        mj = np.asarray(m_all[j])
+        assert mj.sum() == nv and not mj[nv:].any()
+        rows = np.asarray(lp_all[j])[mj]
+        assert all(tuple(r) in orig for r in rows.tolist())
+    # resamples actually resample (not all identical to the original)
+    assert not np.array_equal(np.asarray(lp_all[1])[:nv], lp[:nv])
+
+
+def test_cache_key_tracks_consensus():
+    base = PipelineConfig()
+    on = dataclasses.replace(base, horizon_consensus=8)
+    seeded = dataclasses.replace(on, consensus_seed=7)
+    assert base.cache_key() == dataclasses.replace(
+        base, horizon_consensus=1).cache_key()  # 0 and 1 are both "off"
+    assert on.cache_key() == base.cache_key() + "_ck8"
+    assert seeded.cache_key() == base.cache_key() + "_ck8s7"
+
+
+@pytest.mark.slow
+def test_consensus_pipeline_medoid_and_determinism():
+    rng = np.random.default_rng(4)
+    scene = synth.make_scene(rng, lines_per_vp=30, outliers=5)
+    l, lp, m = pad_lines(scene.segments, 512)
+    cfg = PipelineConfig(sphere_size=100,
+                         horizon_consensus=3)
+    pipe = Pipeline(cfg=cfg)
+    out = pipe.run_lines(l, lp, m)
+    yl = np.asarray(out["consensus_yl"])
+    valid = np.asarray(out["consensus_valid"])
+    pick = int(out["consensus_pick"])
+    assert yl.shape == (3,) and valid[pick]
+    # the reported horizon IS the picked member's (medoid, not average)
+    assert float(out["hp1"][1]) == yl[pick]
+    assert np.isfinite(np.asarray(out["hp1"])).all()
+    # deterministic across calls
+    out2 = pipe.run_lines(l, lp, m)
+    np.testing.assert_array_equal(np.asarray(out["hp1"]),
+                                  np.asarray(out2["hp1"]))
+    np.testing.assert_array_equal(np.asarray(out["consensus_yl"]),
+                                  np.asarray(out2["consensus_yl"]))

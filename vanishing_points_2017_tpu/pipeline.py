@@ -120,6 +120,17 @@ class PipelineConfig:
     # +0.0044 — BASELINE.md round-5). "exact" remains the bit-exact
     # fallback; on CPU backends approx lowers to the exact sort anyway.
     det_topk: str = "approx"
+    # Bootstrap-consensus horizon (em/consensus.py): 0/1 = off (the
+    # reference-parity single EM — the production default), K > 1 = run
+    # K bootstrap resamples of the segment population through EM +
+    # horizon search inside the fused program (vmapped — one wider XLA
+    # program, no extra dispatches) and report the medoid member.
+    # Measurably tames the knife-edge triplet flips the perturbation
+    # harness pins (BASELINE.md round-5 consensus table); opt-in
+    # because it multiplies EM compute by K and is a deliberate
+    # behavioral deviation from the reference (PARITY.md).
+    horizon_consensus: int = 0
+    consensus_seed: int = 0
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -130,9 +141,15 @@ class PipelineConfig:
         # so pre-existing cache keys stay valid)
         hz = ("" if self.horizon_pos_gate_tol == float("inf")
               else f"_hz{self.horizon_pos_gate_tol:g}")
+        # consensus changes cached horizons; omitted at the off default
+        # so pre-existing cache keys stay valid
+        ck = ("" if self.horizon_consensus <= 1 else
+              f"_ck{self.horizon_consensus}"
+              + (f"s{self.consensus_seed}" if self.consensus_seed else ""))
         return (f"{e.distance_measure}_{'' if e.use_weights else 'no'}weights"
                 f"_{'' if e.do_split else 'no'}split"
-                f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}{hz}")
+                f"_{'' if e.do_merge else 'no'}merge_{self.sphere_size}{hz}"
+                f"{ck}")
 
     def det_key(self) -> str:
         """Device-detector config identity — append to :meth:`cache_key`
@@ -212,13 +229,23 @@ def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
     x = cnn_mod.preprocess(img_u8[None], mean)
     pred = cnn_mod.forward(params, x,
                            compute_dtype=jnp.dtype(cfg.cnn_dtype).type)[0]
-    em = expectation_maximisation(l, lp, pred, img_u8.astype(jnp.float32),
-                                  lmask, cfg.em)
-    hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(
-        em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
-        theta_vmin=cfg.theta_vmin,
-        pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
-    return {
+    sphere_f32 = img_u8.astype(jnp.float32)
+    extra: dict = {}
+    if cfg.horizon_consensus > 1:
+        from .em.consensus import consensus_em_horizon
+        em, hz, extra = consensus_em_horizon(
+            l, lp, pred, sphere_f32, lmask, cfg.em,
+            k=cfg.horizon_consensus, seed=cfg.consensus_seed,
+            maxbest=cfg.maxbest, theta_vmin=cfg.theta_vmin,
+            pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
+        hp1, hp2, z_vp, h_vp1, h_vp2, combo = hz
+    else:
+        em = expectation_maximisation(l, lp, pred, sphere_f32, lmask, cfg.em)
+        hp1, hp2, z_vp, h_vp1, h_vp2, combo = calculate_horizon_and_ortho_vp(
+            em.vp, em.counts, em.alive, maxbest=cfg.maxbest,
+            theta_vmin=cfg.theta_vmin,
+            pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
+    return extra | {
         "sphere_image": img_u8,
         "cnn_prediction": pred,
         "vp": em.vp, "alive": em.alive, "counts": em.counts,
