@@ -127,6 +127,12 @@ def main() -> int:
                          "(PipelineConfig.horizon_consensus) so its "
                          "flip-rate effect is measured under the same "
                          "jitter protocol")
+    ap.add_argument("--consensus_mode", default="bootstrap",
+                    choices=("bootstrap", "dropout"))
+    ap.add_argument("--consensus_guard", type=float, default=0.0)
+    ap.add_argument("--photos_only", action="store_true",
+                    help="skip the synthetic-scene probes (quick "
+                         "consensus-mode comparisons)")
     ap.add_argument("--json_out", default="/tmp/knife_edge.json")
     args = ap.parse_args()
 
@@ -143,7 +149,9 @@ def main() -> int:
 
     cfg = PipelineConfig()
     if args.consensus > 1:
-        cfg = dataclasses.replace(cfg, horizon_consensus=args.consensus)
+        cfg = dataclasses.replace(cfg, horizon_consensus=args.consensus,
+                                  consensus_mode=args.consensus_mode,
+                                  consensus_guard=args.consensus_guard)
     report_consensus = args.consensus
     params, mean = wload.load_params_and_mean(warn=False)
     pipe = Pipeline(params=params, mean=mean, cfg=cfg)
@@ -151,6 +159,8 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     report = {"sigma_px": args.sigma_px, "drop": args.drop,
               "jitters": args.jitters, "consensus": report_consensus,
+              "consensus_mode": args.consensus_mode,
+              "consensus_guard": args.consensus_guard,
               "rows": []}
 
     def probe(name, lp0, m0, err_fn):
@@ -192,6 +202,11 @@ def main() -> int:
         print("(reference photos unavailable — skipping)")
 
     # ---- knife-edge synthetic scenes: lowest unperturbed margin ----
+    if args.photos_only:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json_out} (photos only)")
+        return 0
     scenes, images = build_scene_set(args.scene_pool, size=args.size)
     pops = [detect_device(pipe, cfg, img) for img in images]
     base = run_populations(pipe, cfg, [p[0] for p in pops],

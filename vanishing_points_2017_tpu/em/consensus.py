@@ -62,25 +62,47 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def bootstrap_populations(l: jnp.ndarray, lp: jnp.ndarray,
-                          lmask: jnp.ndarray, k: int, seed: int):
+                          lmask: jnp.ndarray, k: int, seed: int,
+                          mode: str = "bootstrap",
+                          drop: float = 0.15):
     """(l, lp, lmask) -> K stacked populations; member 0 is the original.
 
-    Members 1..K-1 draw n_valid segments with replacement from the
-    valid set (classical bootstrap: same population size, ~63% unique
-    members each). Static shapes throughout: draws index the
-    valid-first permutation of the rows and the bootstrap mask is the
-    dense prefix ``arange(N) < n_valid``.
+    ``mode="bootstrap"``: members 1..K-1 draw n_valid segments with
+    replacement from the valid set (classical bootstrap: same
+    population size, ~63% unique members each). ``mode="dropout"``: a
+    gentler perturbation — each member keeps a random
+    (1 - ``drop``)-fraction subset WITHOUT replacement (no duplicate
+    weighting), sized for drift-sensitive populations where the full
+    bootstrap's integer reweighting is a harsher perturbation than the
+    noise being defended against (measured: BASELINE.md round-5
+    consensus table). Static shapes throughout: draws index the
+    valid-first permutation of the rows and each member's mask is a
+    dense prefix.
     """
     n = l.shape[0]
     order = jnp.argsort(~lmask, stable=True)        # valid rows first
     n_valid = jnp.sum(lmask).astype(jnp.int32)
     nv1 = jnp.maximum(n_valid, 1)                   # guard empty input
     ls, lps = l[order], lp[order]
-    mask_boot = jnp.arange(n) < n_valid
 
-    def draw(key):
-        u = jax.random.uniform(key, (n,))
-        return jnp.minimum((u * nv1).astype(jnp.int32), nv1 - 1)
+    if mode == "dropout":
+        n_keep = jnp.maximum((nv1.astype(jnp.float32)
+                              * (1.0 - drop)).astype(jnp.int32), 1)
+        mask_boot = jnp.arange(n) < n_keep
+
+        def draw(key):
+            # random subset of the valid prefix, compacted to the front:
+            # sort random scores ascending over valid rows (invalid to
+            # +inf), take the first n_keep by that order
+            u = jnp.where(jnp.arange(n) < n_valid,
+                          jax.random.uniform(key, (n,)), jnp.inf)
+            return jnp.argsort(u)
+    else:
+        mask_boot = jnp.arange(n) < n_valid
+
+        def draw(key):
+            u = jax.random.uniform(key, (n,))
+            return jnp.minimum((u * nv1).astype(jnp.int32), nv1 - 1)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), k - 1)
     idx = jax.vmap(draw)(keys)                      # (K-1, N)
@@ -92,11 +114,12 @@ def bootstrap_populations(l: jnp.ndarray, lp: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("em_cfg", "k", "seed",
-                                             "maxbest"))
+                                             "maxbest", "mode", "guard"))
 def consensus_em_horizon(l: jnp.ndarray, lp: jnp.ndarray,
                          pred: jnp.ndarray, sphere_image: jnp.ndarray,
                          lmask: jnp.ndarray, em_cfg: EMConfig, *,
-                         k: int, seed: int = 0, maxbest: int = 20,
+                         k: int, seed: int = 0, mode: str = "bootstrap",
+                         guard: float = 0.0, maxbest: int = 20,
                          theta_vmin: float = float(np.pi / 10),
                          pos_gate_ideal_tol: float = float("inf")):
     """K-member bootstrap EM + horizon; returns the medoid member.
@@ -107,8 +130,20 @@ def consensus_em_horizon(l: jnp.ndarray, lp: jnp.ndarray,
     heights (``yl``/``yr``, the y of the x = +-1 intersections), member
     validity, the picked index and the valid-member edge spread
     (max - min) — the quantity the knife edge moves.
+
+    ``guard`` > 0 enables the GUARDED medoid: the original population
+    (member 0) is kept whenever its summed edge deviation from the
+    member median, |yl0 - med_l| + |yr0 - med_r|, is within ``guard``
+    (normalized frame units) — the ensemble then only *overrides* the
+    base result when base fell off the member majority (a triplet
+    flip), and never perturbs a base result that sits inside the
+    member cloud (gate-marginal drift, where the ensemble's own
+    resampling variance is the larger noise source — measured:
+    BASELINE.md round-5 consensus table). ``guard=0`` always reports
+    the medoid.
     """
-    l_all, lp_all, m_all = bootstrap_populations(l, lp, lmask, k, seed)
+    l_all, lp_all, m_all = bootstrap_populations(l, lp, lmask, k, seed,
+                                                 mode=mode)
 
     emr: EMResult = jax.vmap(
         lambda a, b, m: expectation_maximisation(a, b, pred, sphere_image,
@@ -127,6 +162,9 @@ def consensus_em_horizon(l: jnp.ndarray, lp: jnp.ndarray,
     dist = jnp.where(valid, jnp.abs(yl - med_l) + jnp.abs(yr - med_r),
                      jnp.inf)
     pick = jnp.where(jnp.any(valid), jnp.argmin(dist), 0)
+    if guard > 0.0:
+        base_ok = valid[0] & (dist[0] <= guard)
+        pick = jnp.where(base_ok, 0, pick)
 
     def take(t):
         return jax.tree.map(lambda x: x[pick], t)

@@ -131,6 +131,13 @@ class PipelineConfig:
     # behavioral deviation from the reference (PARITY.md).
     horizon_consensus: int = 0
     consensus_seed: int = 0
+    # "bootstrap" (with-replacement resample) or "dropout" (keep a
+    # random 85% subset per member — gentler; see em/consensus.py)
+    consensus_mode: str = "bootstrap"
+    # guarded medoid: keep the base member unless it deviates from the
+    # ensemble median by more than this (summed over both horizon
+    # edges, normalized units); 0 = always report the medoid
+    consensus_guard: float = 0.0
 
     def cache_key(self) -> str:
         """Config-dependent cache identity, like the reference's encoded
@@ -145,6 +152,10 @@ class PipelineConfig:
         # so pre-existing cache keys stay valid
         ck = ("" if self.horizon_consensus <= 1 else
               f"_ck{self.horizon_consensus}"
+              + ("" if self.consensus_mode == "bootstrap"
+                 else f"{self.consensus_mode}")
+              + (f"g{self.consensus_guard:g}" if self.consensus_guard
+                 else "")
               + (f"s{self.consensus_seed}" if self.consensus_seed else ""))
         return (f"{e.distance_measure}_{'' if e.use_weights else 'no'}weights"
                 f"_{'' if e.do_split else 'no'}split"
@@ -236,6 +247,7 @@ def device_pipeline(l: jnp.ndarray, lp: jnp.ndarray, lmask: jnp.ndarray,
         em, hz, extra = consensus_em_horizon(
             l, lp, pred, sphere_f32, lmask, cfg.em,
             k=cfg.horizon_consensus, seed=cfg.consensus_seed,
+            mode=cfg.consensus_mode, guard=cfg.consensus_guard,
             maxbest=cfg.maxbest, theta_vmin=cfg.theta_vmin,
             pos_gate_ideal_tol=cfg.horizon_pos_gate_tol)
         hp1, hp2, z_vp, h_vp1, h_vp2, combo = hz
