@@ -127,7 +127,7 @@ def main() -> int:
                          "(PipelineConfig.horizon_consensus) so its "
                          "flip-rate effect is measured under the same "
                          "jitter protocol")
-    ap.add_argument("--consensus_mode", default="bootstrap",
+    ap.add_argument("--consensus_mode", default="dropout",
                     choices=("bootstrap", "dropout"))
     ap.add_argument("--consensus_guard", type=float, default=0.0)
     ap.add_argument("--photos_only", action="store_true",

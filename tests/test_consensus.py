@@ -108,8 +108,8 @@ def test_cache_key_tracks_consensus():
         base, horizon_consensus=1).cache_key()  # 0 and 1 are both "off"
     assert on.cache_key() == base.cache_key() + "_ck8"
     assert seeded.cache_key() == base.cache_key() + "_ck8s7"
-    dropped = dataclasses.replace(on, consensus_mode="dropout")
-    assert dropped.cache_key() == base.cache_key() + "_ck8dropout"
+    boot = dataclasses.replace(on, consensus_mode="bootstrap")
+    assert boot.cache_key() == base.cache_key() + "_ck8bootstrap"
     guarded = dataclasses.replace(on, consensus_guard=0.1)
     assert guarded.cache_key() == base.cache_key() + "_ck8g0.1"
 

@@ -16,8 +16,15 @@ On TPU an ensemble is nearly free: EM costs ~1.5 ms/batch-iteration
 K EM instances into one wider program whose extra batch dimension the
 VPU/MXU eat without extra dispatches. So the consensus estimator:
 
-1. draw K-1 bootstrap resamples (with replacement) of the VALID
-   segment population — member 0 is the untouched original;
+1. draw K-1 perturbed copies of the VALID segment population —
+   member 0 is the untouched original. Default perturbation:
+   "dropout" (each member keeps a random 85% subset), the measured
+   winner — strictly fewer knife-edge flips than single-EM on every
+   probed photo. The classical "bootstrap" (resample with
+   replacement) is kept as a mode but measured WORSE on
+   drift-sensitive populations: its integer reweighting is a harsher
+   perturbation than the sub-pixel noise being defended against
+   (BASELINE.md round-5 consensus table);
 2. run the full production EM + triplet horizon search per member
    (same CNN prior for all members: the sphere render / CNN forward
    is computed once from the original population, so the ensemble
@@ -118,7 +125,7 @@ def bootstrap_populations(l: jnp.ndarray, lp: jnp.ndarray,
 def consensus_em_horizon(l: jnp.ndarray, lp: jnp.ndarray,
                          pred: jnp.ndarray, sphere_image: jnp.ndarray,
                          lmask: jnp.ndarray, em_cfg: EMConfig, *,
-                         k: int, seed: int = 0, mode: str = "bootstrap",
+                         k: int, seed: int = 0, mode: str = "dropout",
                          guard: float = 0.0, maxbest: int = 20,
                          theta_vmin: float = float(np.pi / 10),
                          pos_gate_ideal_tol: float = float("inf")):

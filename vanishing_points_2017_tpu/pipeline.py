@@ -131,9 +131,12 @@ class PipelineConfig:
     # behavioral deviation from the reference (PARITY.md).
     horizon_consensus: int = 0
     consensus_seed: int = 0
-    # "bootstrap" (with-replacement resample) or "dropout" (keep a
-    # random 85% subset per member — gentler; see em/consensus.py)
-    consensus_mode: str = "bootstrap"
+    # "dropout" (each member keeps a random 85% subset — the measured
+    # winner: strictly fewer knife-edge flips than single-EM on every
+    # probed photo) or "bootstrap" (with-replacement resample — a
+    # harsher perturbation that ADDS flips on drift-sensitive
+    # populations; BASELINE.md round-5 consensus table)
+    consensus_mode: str = "dropout"
     # guarded medoid: keep the base member unless it deviates from the
     # ensemble median by more than this (summed over both horizon
     # edges, normalized units); 0 = always report the medoid
@@ -152,7 +155,7 @@ class PipelineConfig:
         # so pre-existing cache keys stay valid
         ck = ("" if self.horizon_consensus <= 1 else
               f"_ck{self.horizon_consensus}"
-              + ("" if self.consensus_mode == "bootstrap"
+              + ("" if self.consensus_mode == "dropout"  # the default
                  else f"{self.consensus_mode}")
               + (f"g{self.consensus_guard:g}" if self.consensus_guard
                  else "")
