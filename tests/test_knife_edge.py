@@ -87,6 +87,42 @@ def test_real_photo_flip_rate_pinned():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF_EXAMPLES),
+                    reason="reference example photos not available")
+def test_consensus_flip_rate_pinned():
+    """The dropout-consensus horizon (em/consensus.py, K=8) must stay at
+    or below ITS measured in-env flip rates — which are <= the single-EM
+    pins on every probe (measured 2026-08-20 under the conftest flags:
+    ihme 2->1, uni_hannover 1->0, lichthof 6->6; protocol-level table in
+    BASELINE.md's round-5 consensus section)."""
+    import dataclasses
+
+    from perturb_knife_edge import detect_device, photo_errs
+    from vanishing_points_2017_tpu.pipeline import Pipeline
+
+    CONSENSUS_PINS = [
+        ("ihme_zentrum.jpg", 0.7701, 0.7743, 1),
+        ("uni_hannover.jpg", 0.7458, 0.7336, 0),
+        ("uni_hannover_lichthof.jpg", 0.3889, 0.3877, 6),
+    ]
+    pipe = _pipe()
+    cfg_c = dataclasses.replace(pipe.cfg, horizon_consensus=8)
+    pipe_c = Pipeline(params=pipe.params, mean=np.asarray(pipe.mean),
+                      cfg=cfg_c)
+    for name, rl, rr, max_flips in CONSENSUS_PINS:
+        host = pipe.ingest_image(os.path.join(REF_EXAMPLES, name),
+                                 target_size=640)
+        # detection at production defaults (consensus does not change it)
+        lp0, m0 = detect_device(pipe, pipe.cfg, host["gray"])
+        base_err, flips, _res = _flips(
+            pipe_c, lp0, m0,
+            lambda res, shape=host["image_shape"], a=rl, b=rr:
+            photo_errs(res, shape, a, b))
+        assert base_err <= 0.10, (name, base_err)
+        assert flips <= max_flips, (name, flips, max_flips)
+
+
+@pytest.mark.slow
 def test_synthetic_knife_edge_scenes_flip_rate():
     """The lowest-margin scenes of the fixed 50-scene set (indices pinned
     from the round-5 measurement) must not flip more than measured."""
