@@ -58,6 +58,11 @@ def main() -> int:
                          "distinct shape compiles one program")
     ap.add_argument("--num_synthetic", type=int, default=50)
     ap.add_argument("--no_weights_warn", action="store_true")
+    ap.add_argument("--consensus", type=int, default=0, metavar="K",
+                    help="K-member dropout-ensemble horizon (medoid pick); "
+                         "0 = single EM, reference parity. Enters the "
+                         "result-cache identity (em/consensus.py; "
+                         "BASELINE.md round-5 consensus table)")
     args = ap.parse_args()
 
     if args.device:
@@ -85,7 +90,7 @@ def main() -> int:
     else:
         ap.error("pick a dataset: --yud / --ecd / --hlw / --synthetic")
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(horizon_consensus=args.consensus)
     wfp = wload.weights_identity(args.weights)
     params, mean = wload.load_params_and_mean(args.weights, args.mean,
                                               warn=not args.no_weights_warn)

@@ -66,6 +66,10 @@ def main() -> int:
                          "directory) instead of the bundled generated "
                          "scenes — e.g. the reference checkout's "
                          "assets/examples photos")
+    ap.add_argument("--consensus", type=int, default=0, metavar="K",
+                    help="K-member dropout-ensemble horizon (medoid pick); "
+                         "0 = single EM, reference parity (em/consensus.py; "
+                         "BASELINE.md round-5 consensus table)")
     args = ap.parse_args()
 
     if args.device:
@@ -80,7 +84,8 @@ def main() -> int:
     from vanishing_points_2017_tpu import weights as wload
 
     params, mean = wload.load_params_and_mean(args.weights, args.mean)
-    pipe = Pipeline(params=params, mean=mean, cfg=PipelineConfig())
+    pipe = Pipeline(params=params, mean=mean,
+                    cfg=PipelineConfig(horizon_consensus=args.consensus))
 
     if args.images is not None:
         paths = []
